@@ -1,0 +1,17 @@
+from citation_graph_spark.graph.ids import assign_dense_ids
+from citation_graph_spark.graph.degrees import out_degrees, in_degrees, undirect
+from citation_graph_spark.graph.pagerank import pagerank
+from citation_graph_spark.graph.components import connected_components
+from citation_graph_spark.graph.communities import label_propagation
+from citation_graph_spark.graph.triangles import triangle_counts
+
+__all__ = [
+    "assign_dense_ids",
+    "out_degrees",
+    "in_degrees",
+    "undirect",
+    "pagerank",
+    "connected_components",
+    "label_propagation",
+    "triangle_counts",
+]

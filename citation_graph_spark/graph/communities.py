@@ -1,0 +1,88 @@
+"""Community detection — synchronous label propagation.
+
+The reference derives community structure off-graph (sklearn clustering
+over embeddings, src/citations/clustering/*.py, surfaced as IN_CLUSTER
+edges, neo4j/loader.py:233-237; a Louvain run appears in the README
+gallery, README.md:83-84). The north rule replaces that with in-engine
+label propagation over the edge table.
+
+Semantics (pinned so the single-node oracle can reproduce exactly):
+- undirected graph, synchronous rounds, fixed ``max_iter``
+- every vertex starts with label = vid
+- each round a vertex adopts the most frequent label among its
+  neighbors; ties break to the SMALLEST label (order-insensitive
+  reducer, SURVEY.md §7.2(c) — never ``first()``)
+- vertices with no neighbors keep their label
+- early exit when no label changes
+
+One shuffle pair per round: groupBy(dst, label).count (skew-resistant:
+partial aggregation collapses hub fan-in per partition) + the window
+argmax. Labels stay hash-partitioned on vid between rounds.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from citation_graph_spark.graph.degrees import undirect
+from citation_graph_spark.metrics import MetricsLogger
+
+
+def label_propagation(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 10,
+    num_partitions: int | None = None,
+    metrics_path: str | None = None,
+) -> DataFrame:
+    """Returns ``(vid: long, label: long)`` after ``max_iter`` synchronous
+    rounds (or earlier fixpoint)."""
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    metrics = MetricsLogger(metrics_path, "label_propagation")
+
+    und = undirect(edges).repartition(num_partitions, "src").persist()
+    und.count()
+    if vertices is None:
+        vertices = und.select(F.col("src").alias("vid")).distinct()
+    vertices = vertices.select("vid")
+
+    labels = (
+        vertices.select("vid", F.col("vid").alias("label"))
+        .repartition(num_partitions, "vid")
+        .localCheckpoint(eager=True)
+    )
+
+    for it in range(max_iter):
+        t0 = time.monotonic()
+        msgs = und.join(labels, und["src"] == labels["vid"]).select(
+            F.col("dst"), F.col("label").alias("nbr_label")
+        )
+        counts = msgs.groupBy("dst", "nbr_label").agg(F.count(F.lit(1)).alias("n"))
+        w = Window.partitionBy("dst").orderBy(F.desc("n"), F.asc("nbr_label"))
+        winner = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("dst", F.col("nbr_label").alias("new_label"))
+        )
+        new_labels = (
+            labels.join(winner, labels["vid"] == winner["dst"], "left")
+            .select(
+                labels["vid"],
+                F.coalesce("new_label", labels["label"]).alias("label"),
+                labels["label"].alias("_prev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("label") != F.col("_prev")).count()
+        labels = new_labels.drop("_prev")
+        metrics.log(it + 1, changed=changed, wall_s=round(time.monotonic() - t0, 4))
+        if changed == 0:
+            break
+
+    und.unpersist()
+    return labels.select("vid", "label")

@@ -1,0 +1,182 @@
+"""Connected components — min-label exchange to fixpoint.
+
+The reference shows graph connectivity only visually (Bloom scenes);
+the north rule makes it a first-class result table
+``components(vid, component)`` with component = min vid reachable.
+
+Algorithm: synchronous min-label propagation over the undirected edge
+closure. Each round every vertex takes the min of its own label and its
+neighbors' labels; converged when zero labels change. Rounds are pure
+join/groupBy — one shuffle per round (the groupBy on dst) because edges
+stay cached hash-partitioned on src and labels on vid, mirroring the
+PageRank layout.
+
+Scale path: plain min-label needs O(diameter) rounds. For long-chain
+graphs enable ``star_contraction=True`` — alternating large-star /
+small-star rounds (Kiveris et al., "Connected components in MapReduce
+and beyond", cf. PAPERS.md "Finding connected components in map-reduce
+in logarithmic rounds") converge in O(log² n) rounds by rewiring edges
+toward each component's minimum instead of only propagating labels.
+Both variants return identical assignments (tests assert so).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from citation_graph_spark.checkpointing import CheckpointManager
+from citation_graph_spark.graph.degrees import undirect
+from citation_graph_spark.metrics import MetricsLogger
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 100,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+    metrics_path: str | None = None,
+    star_contraction: bool = False,
+) -> DataFrame:
+    """Returns ``(vid: long, component: long)``; component = min vid in
+    the component (deterministic, order-insensitive reducer — min —
+    per SURVEY.md §7.2(c))."""
+    if star_contraction:
+        return _star_components(edges, vertices, max_iter, metrics_path)
+
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    metrics = MetricsLogger(metrics_path, "connected_components")
+    ckpt = CheckpointManager(checkpoint_dir, "components") if checkpoint_dir else None
+
+    und = undirect(edges).repartition(num_partitions, "src").persist()
+    und.count()
+
+    if vertices is None:
+        vertices = und.select(F.col("src").alias("vid")).distinct()
+    vertices = vertices.select("vid")
+
+    start_iter = 0
+    labels = None
+    if ckpt and resume:
+        loaded = ckpt.load(spark)
+        if loaded is not None:
+            labels, manifest = loaded
+            start_iter = manifest["iteration"]
+            labels = labels.repartition(num_partitions, "vid").localCheckpoint(eager=True)
+    if labels is None:
+        labels = (
+            vertices.select("vid", F.col("vid").alias("label"))
+            .repartition(num_partitions, "vid")
+            .localCheckpoint(eager=True)
+        )
+
+    for it in range(start_iter, max_iter):
+        t0 = time.monotonic()
+        msgs = und.join(labels, und["src"] == labels["vid"]).select(
+            F.col("dst"), F.col("label").alias("nbr_label")
+        )
+        nbr_min = msgs.groupBy("dst").agg(F.min("nbr_label").alias("nbr_min"))
+        new_labels = (
+            labels.join(nbr_min, labels["vid"] == nbr_min["dst"], "left")
+            .select(
+                labels["vid"],
+                F.least(
+                    labels["label"], F.coalesce("nbr_min", labels["label"])
+                ).alias("label"),
+                labels["label"].alias("_prev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("label") != F.col("_prev")).count()
+        labels = new_labels.drop("_prev")
+        metrics.log(it + 1, changed=changed, wall_s=round(time.monotonic() - t0, 4))
+        if ckpt and ((it + 1) % checkpoint_interval == 0):
+            ckpt.save(labels, it + 1, {"changed": changed})
+        if changed == 0:
+            break
+
+    if ckpt:
+        ckpt.save(labels, it + 1, {"changed": changed, "converged": changed == 0})
+    und.unpersist()
+    return labels.select("vid", F.col("label").alias("component"))
+
+
+def _star_components(
+    edges: DataFrame,
+    vertices: DataFrame | None,
+    max_iter: int,
+    metrics_path: str | None,
+) -> DataFrame:
+    """Alternating large-star/small-star contraction (logarithmic rounds).
+
+    Maintains a parent pointer per vertex; each round:
+      large-star: for each edge (u,v) with v > u's current min-neighbor m,
+                  link v → m   (parents of big endpoints jump to minima)
+      small-star: symmetric for v ≤ u.
+    Implemented as the standard pair of groupBy-min + re-link rounds on
+    the edge list itself; converges when the edge list is a star forest.
+    """
+    spark = edges.sparkSession
+    metrics = MetricsLogger(metrics_path, "connected_components_star")
+    und = undirect(edges)
+    if vertices is None:
+        vertices = und.select(F.col("src").alias("vid")).distinct()
+    vertices = vertices.select("vid")
+
+    # edge list in canonical (big, small) orientation; parent init = self
+    e = und.filter(F.col("src") > F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).localCheckpoint(eager=True)
+
+    for it in range(max_iter):
+        t0 = time.monotonic()
+        # large-star: γ(u) ∪ {u} grouped by u → link every w > u to min
+        nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        with_min = nbrs.join(
+            nbrs.groupBy("u").agg(F.min("v").alias("m")), "u"
+        ).withColumn("m", F.least("m", "u"))
+        large = (
+            with_min.filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on the result
+        nbrs2 = large.unionByName(
+            large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).filter(F.col("u") > F.col("v"))
+        nbrs2 = nbrs2.unionByName(nbrs2.select("u", "v"))  # keep orientation
+        with_min2 = nbrs2.join(
+            nbrs2.groupBy("u").agg(F.min("v").alias("m")), "u"
+        )
+        small = (
+            with_min2.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(with_min2.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # converged when small-star output is stable star forest:
+        # every u appears with exactly one v and v is a root (not a u)
+        non_star = (
+            small.alias("a")
+            .join(small.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi")
+            .count()
+        )
+        e = small
+        metrics.log(it + 1, non_star=non_star, wall_s=round(time.monotonic() - t0, 4))
+        if non_star == 0:
+            break
+
+    comp = e.select(F.col("u").alias("vid"), F.col("v").alias("component"))
+    return (
+        vertices.join(comp, "vid", "left")
+        .select("vid", F.coalesce("component", "vid").alias("component"))
+    )

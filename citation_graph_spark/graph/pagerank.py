@@ -1,0 +1,200 @@
+"""PageRank as join/groupBy message-passing rounds.
+
+The reference serves vertex importance as raw citation counts
+(src/citations/neo4j/loader.py:376-390 ``num_articles_cite``; Article
+``citations`` property, schemas.py:28). The north rule upgrades this to
+full PageRank over the extracted edge table, computed Spark-first:
+
+    contribs = edges ⨝ ranks on src        (co-partitioned, no exchange)
+    sums     = contribs.groupBy(dst).sum   (THE one shuffle per round)
+    new_rank = (1-α)/N + α·(sums + dangling_mass/N)
+
+Physical-plan invariants this module maintains (SURVEY.md §4.3):
+- ``edges`` are hash-repartitioned on ``src`` ONCE and cached; every
+  iteration's join reuses that partitioning (no per-round edge shuffle).
+- vertex state is always hash-partitioned on ``vid`` (inherited from
+  the previous round's aggregation) → the rank-update join is
+  exchange-free as well.
+- ``localCheckpoint(eager=True)`` per round truncates lineage; durable
+  parquet checkpoints every ``checkpoint_interval`` rounds make the run
+  resumable (CheckpointManager manifest).
+- map-side partial aggregation already collapses power-law in-degree
+  hubs to ≤ one row per (partition, dst) before the shuffle — the same
+  effect explicit salting buys for algebraic aggregates. For
+  demonstration and for non-algebraic payloads ``salt_buckets > 0``
+  switches to an explicit two-phase salted aggregation
+  groupBy(dst, salt)→groupBy(dst).
+
+Weighted semantics: contribution of src→dst is
+``rank(src) · weight(src,dst) / Σ_d' weight(src,d')`` — with unit
+weights this is classic PageRank. Dangling vertices (zero out-degree)
+redistribute their rank mass uniformly.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from citation_graph_spark.checkpointing import CheckpointManager
+from citation_graph_spark.metrics import MetricsLogger
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 200,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+    metrics_path: str | None = None,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Returns ``(vid: long, score: double)``; Σ score = 1.
+
+    ``vertices`` (a DataFrame with a ``vid`` column) defines the vertex
+    universe — isolated vertices still receive teleport + dangling mass.
+    If omitted it is derived from edge endpoints.
+    """
+    spark = edges.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    metrics = MetricsLogger(metrics_path, "pagerank")
+    ckpt = CheckpointManager(checkpoint_dir, "pagerank") if checkpoint_dir else None
+
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("src").alias("vid"))
+            .unionByName(edges.select(F.col("dst").alias("vid")))
+            .distinct()
+        )
+    vertices = vertices.select("vid")
+
+    # normalize edge weights by (weighted) out-degree once, up front
+    out_deg = edges.groupBy("src").agg(F.sum("weight").alias("_wout"))
+    edges_n = (
+        edges.join(out_deg, "src")
+        .select("src", "dst", (F.col("weight") / F.col("_wout")).alias("wnorm"))
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    edge_count = edges_n.count()  # materialize the cached, partitioned edges
+
+    n = vertices.count()
+    if n == 0:
+        return spark.createDataFrame([], "vid long, score double")
+
+    start_iter = 0
+    ranks = None
+    if ckpt and resume:
+        loaded = ckpt.load(spark)
+        if loaded is not None:
+            ranks, manifest = loaded
+            start_iter = manifest["iteration"]
+            ranks = ranks.repartition(num_partitions, "vid").localCheckpoint(eager=True)
+            if manifest.get("meta", {}).get("converged"):
+                # already at fixpoint — identical results, no extra rounds
+                edges_n.unpersist()
+                return ranks.select("vid", F.col("rank").alias("score"))
+    if ranks is None:
+        dangling_flags = vertices.join(
+            edges.select("src").distinct(),
+            vertices["vid"] == F.col("src"),
+            "left_anti",
+        ).withColumn("is_dangling", F.lit(True))
+        ranks = (
+            vertices.join(dangling_flags.select("vid", "is_dangling"), "vid", "left")
+            .select(
+                "vid",
+                F.lit(1.0 / n).alias("rank"),
+                F.coalesce("is_dangling", F.lit(False)).alias("is_dangling"),
+            )
+            .repartition(num_partitions, "vid")
+            .localCheckpoint(eager=True)
+        )
+
+    teleport = (1.0 - alpha) / n
+    total_wall = 0.0
+    # dangling mass for the first round; later rounds get it for free
+    # from the same single-pass stats aggregation that computes Σ|Δ|
+    d_mass = (
+        ranks.filter(F.col("is_dangling"))
+        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+        .collect()[0][0]
+    )
+    it, l1 = start_iter - 1, float("inf")
+    for it in range(start_iter, max_iter):
+        t0 = time.monotonic()
+        contribs = edges_n.join(
+            ranks.select(F.col("vid"), F.col("rank")),
+            edges_n["src"] == F.col("vid"),
+        ).select(F.col("dst"), (F.col("rank") * F.col("wnorm")).alias("c"))
+
+        if salt_buckets > 0:
+            # explicit two-phase salted aggregation for hub dst keys
+            salted = contribs.withColumn(
+                "_salt", F.pmod(F.xxhash64("dst", "c"), F.lit(salt_buckets))
+            )
+            sums = (
+                salted.groupBy("dst", "_salt")
+                .agg(F.sum("c").alias("_partial"))
+                .groupBy("dst")
+                .agg(F.sum("_partial").alias("s"))
+            )
+        else:
+            sums = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
+
+        new_ranks = (
+            ranks.join(sums, ranks["vid"] == sums["dst"], "left")
+            .select(
+                ranks["vid"],
+                (
+                    F.lit(teleport)
+                    + F.lit(alpha)
+                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(d_mass / n))
+                ).alias("rank"),
+                ranks["rank"].alias("_prev"),
+                ranks["is_dangling"],
+            )
+        ).localCheckpoint(eager=True)
+
+        stats = new_ranks.agg(
+            F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("l1"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_dangling"), F.col("rank"))), F.lit(0.0)
+            ).alias("d_mass"),
+        ).collect()[0]
+        l1, d_mass = stats["l1"], stats["d_mass"]
+        ranks = new_ranks.drop("_prev")
+
+        wall = time.monotonic() - t0
+        total_wall += wall
+        metrics.log(
+            it + 1,
+            l1_delta=l1,
+            wall_s=round(wall, 4),
+            edges=edge_count,
+            vertices=n,
+            edges_per_sec=round(edge_count / wall, 1) if wall > 0 else None,
+        )
+        if ckpt and ((it + 1) % checkpoint_interval == 0):
+            ckpt.save(ranks, it + 1, {"l1": l1, "alpha": alpha, "tol": tol})
+        if l1 < tol:
+            break
+
+    if ckpt:
+        ckpt.save(ranks, it + 1, {"l1": l1, "converged": l1 < tol})
+    metrics.log(
+        -1,
+        total_wall_s=round(total_wall, 4),
+        iterations=it + 1 - start_iter,
+        iters_per_sec=round((it + 1 - start_iter) / total_wall, 3) if total_wall else None,
+    )
+    edges_n.unpersist()
+    return ranks.select("vid", F.col("rank").alias("score"))

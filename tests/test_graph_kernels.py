@@ -1,0 +1,150 @@
+"""Graph kernels vs single-node oracles: PageRank allclose(1e-6),
+components / communities / triangles exact (north rule)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from citation_graph_spark.graph import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_counts,
+)
+from tests.conftest import edges_df, vertices_df
+from tests.oracles import (
+    MICRO_GRAPHS,
+    components_oracle,
+    label_propagation_oracle,
+    pagerank_oracle,
+    random_graph,
+    triangles_oracle,
+)
+
+GRAPHS = dict(MICRO_GRAPHS)
+GRAPHS["random_200"] = (200, [(s, d) for s, d, _ in random_graph(200, 800, seed=7)])
+GRAPHS["random_500_skew"] = (
+    500,
+    [(s, d) for s, d, _ in random_graph(500, 3000, seed=11)],
+)
+
+
+def _weighted(edge_list):
+    return [(s, d, 1.0) for s, d in edge_list]
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_pagerank_matches_oracle(spark, name):
+    n, el = GRAPHS[name]
+    got = (
+        pagerank(edges_df(spark, el), vertices_df(spark, n), tol=1e-6)
+        .orderBy("vid")
+        .toPandas()
+    )
+    want = pagerank_oracle(n, _weighted(el), tol=1e-6)
+    assert got["vid"].tolist() == list(range(n))
+    assert np.allclose(got["score"].to_numpy(), want, atol=1e-6, rtol=0)
+    assert abs(got["score"].sum() - 1.0) < 1e-9
+
+
+def test_pagerank_weighted(spark):
+    el = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 1.0), (2, 0, 2.0)]
+    got = (
+        pagerank(edges_df(spark, el), vertices_df(spark, 3), tol=1e-9)
+        .orderBy("vid")
+        .toPandas()
+    )
+    want = pagerank_oracle(3, el, tol=1e-9)
+    assert np.allclose(got["score"].to_numpy(), want, atol=1e-8, rtol=0)
+
+
+def test_pagerank_salted_equals_unsalted(spark):
+    n, el = GRAPHS["random_500_skew"]
+    base = (
+        pagerank(edges_df(spark, el), vertices_df(spark, n))
+        .orderBy("vid")
+        .toPandas()["score"]
+        .to_numpy()
+    )
+    salted = (
+        pagerank(edges_df(spark, el), vertices_df(spark, n), salt_buckets=4)
+        .orderBy("vid")
+        .toPandas()["score"]
+        .to_numpy()
+    )
+    assert np.allclose(base, salted, atol=1e-9, rtol=0)
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_components_match_oracle(spark, name):
+    n, el = GRAPHS[name]
+    got = (
+        connected_components(edges_df(spark, el), vertices_df(spark, n))
+        .orderBy("vid")
+        .toPandas()
+    )
+    want = components_oracle(n, el)
+    assert got["component"].to_numpy().tolist() == want.tolist()
+
+
+@pytest.mark.parametrize("name", ["cycle4_isolated", "two_cliques_bridge", "random_200"])
+def test_star_contraction_matches_minlabel(spark, name):
+    n, el = GRAPHS[name]
+    base = (
+        connected_components(edges_df(spark, el), vertices_df(spark, n))
+        .orderBy("vid")
+        .toPandas()["component"]
+        .tolist()
+    )
+    star = (
+        connected_components(
+            edges_df(spark, el), vertices_df(spark, n), star_contraction=True
+        )
+        .orderBy("vid")
+        .toPandas()["component"]
+        .tolist()
+    )
+    assert star == base
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_label_propagation_matches_oracle(spark, name):
+    n, el = GRAPHS[name]
+    got = (
+        label_propagation(edges_df(spark, el), vertices_df(spark, n), max_iter=10)
+        .orderBy("vid")
+        .toPandas()
+    )
+    want = label_propagation_oracle(n, el, max_iter=10)
+    assert got["label"].to_numpy().tolist() == want.tolist()
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_triangles_match_oracle(spark, name):
+    n, el = GRAPHS[name]
+    got = (
+        triangle_counts(edges_df(spark, el), vertices_df(spark, n))
+        .orderBy("vid")
+        .toPandas()
+    )
+    want = triangles_oracle(n, el)
+    assert got["n_triangles"].to_numpy().tolist() == want.tolist()
+    assert got["n_triangles"].sum() % 3 == 0
+
+
+def test_triangle_known_values(spark):
+    n, el = MICRO_GRAPHS["triangle_pendant"]
+    got = (
+        triangle_counts(edges_df(spark, el), vertices_df(spark, n))
+        .orderBy("vid")
+        .toPandas()["n_triangles"]
+        .tolist()
+    )
+    assert got == [1, 1, 1, 0]
+
+
+def test_star_graph_no_triangles(spark):
+    n, el = MICRO_GRAPHS["star_k15"]
+    got = triangle_counts(edges_df(spark, el), vertices_df(spark, n)).toPandas()
+    assert got["n_triangles"].sum() == 0
