@@ -1,0 +1,289 @@
+"""Graph queries — the engine's kernels cross-validated against SQL oracles.
+
+Two graph sources:
+
+1. **Driver-table graph** (oracle-checked): parts co-ordered within the
+   same order AND sharing a brand form an undirected edge set — the
+   J11 wedge pattern (perspective 'Find coauthors of $person_name')
+   materialized as a real graph. Because edges never cross brands the
+   graph is disconnected by construction, which gives connected
+   components something to find. Over this graph the four north-rule
+   kernels (degrees/PageRank/CC/LP/triangles) run through
+   ``citation_graph_spark.graph`` and are checked against DuckDB
+   oracles — PageRank and LP as recursive CTEs with a fixed round
+   count, CC as a reachability closure, triangles as the canonical
+   triple join.
+
+2. **Synthesized corpus** (rows-only): the BASELINE.json-mandated
+   ``documents(repo, path, commit, lang, content)`` table from
+   fixtures.corpus, run through the full pipeline — vectorized edge
+   extraction → dense ids → kernels. Not single-SQL-expressible (the
+   corpus lives outside DuckDB's view registry); exact-correctness is
+   covered by the pytest oracles (tests/oracles.py: numpy power
+   iteration, union-find, sequential LP, exact triangle enumeration).
+
+Determinism notes for the oracle-checked kernels: PageRank runs a FIXED
+20 rounds (tol=0) on both engines; float divergence from summation
+order is ~1e-15 while scores are floored at 1e-9 granularity. CC/LP/
+triangles are exact integer results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from citation_graph_spark.fixtures.corpus import generate_documents
+from citation_graph_spark.graph import (
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_counts,
+    undirect,
+)
+from citation_graph_spark.graph.ids import build_vertices
+from citation_graph_spark.extraction import build_edges
+from citation_graph_spark.operators import register
+from citation_graph_spark.tables import load_tables
+
+# shared CTE: the same-brand co-order part graph
+_GRAPH_CTE = """
+    items AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+    wb AS (SELECT okey, pk, p_brand AS brand
+           FROM items JOIN part ON pk = p_partkey),
+    edges AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+              FROM wb a JOIN wb b
+                ON a.okey = b.okey AND a.brand = b.brand AND a.pk < b.pk),
+    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    verts AS (SELECT DISTINCT src AS vid FROM sym)
+"""
+
+_PR_ITERS = 20
+_LP_ITERS = 5
+
+
+def part_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (src < dst) undirected edge set of the same-brand
+    co-order part graph, weight 1.0."""
+    t = load_tables(spark, sf_dir)
+    items = t["lineitem"].select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    wb = items.join(
+        F.broadcast(t["part"].select("p_partkey", "p_brand")),
+        F.col("pk") == F.col("p_partkey"),
+    ).select("okey", "pk", F.col("p_brand").alias("brand"))
+    a = wb.select("okey", "brand", F.col("pk").alias("src"))
+    b = wb.select("okey", "brand", F.col("pk").alias("dst"))
+    return (
+        a.join(b, ["okey", "brand"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "graph_part_degrees",
+    oracle=f"""
+    WITH {_GRAPH_CTE}
+    SELECT src AS vid, count(*) AS degree FROM sym GROUP BY src
+    """,
+)
+def graph_part_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree family (reference A1/A2, neo4j/loader.py:359-444) over
+    the part graph via the engine's undirected closure."""
+    edges = part_graph_edges(spark, sf_dir)
+    return undirect(edges).groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "graph_part_components",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    reach(v, l) AS (
+      SELECT vid, vid FROM verts
+      UNION
+      SELECT s.dst, reach.l FROM reach JOIN sym s ON reach.v = s.src
+    )
+    SELECT v AS vid, min(l) AS component FROM reach GROUP BY v
+    """,
+)
+def graph_part_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (north rule: min-label exchange to
+    fixpoint) vs a reachability-closure SQL oracle."""
+    edges = part_graph_edges(spark, sf_dir)
+    return connected_components(edges)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "graph_part_triangles",
+    oracle=f"""
+    WITH {_GRAPH_CTE},
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM edges e1
+        JOIN edges e2 ON e2.src = e1.dst
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    corners AS (
+      SELECT a AS vid FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT v.vid, coalesce(t.n, 0) AS n_triangles
+    FROM verts v LEFT JOIN
+      (SELECT vid, count(*) AS n FROM corners GROUP BY vid) t USING (vid)
+    """,
+)
+def graph_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts (degree-oriented wedge join, the J11
+    coauthor pattern closed into triangles) vs the canonical triple-join
+    oracle."""
+    edges = part_graph_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    return triangle_counts(edges, vertices=verts)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "graph_part_pagerank",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    deg AS (SELECT src AS v, count(*) AS d FROM sym GROUP BY src),
+    nv AS (SELECT count(*) AS n FROM verts),
+    pr(it, v, r) AS (
+      SELECT 0, vid, 1.0 / (SELECT n FROM nv) FROM verts
+      UNION ALL
+      SELECT it, v, r FROM (
+        SELECT m.it + 1 AS it, m.dst AS v,
+               (1.0 - 0.85) / (SELECT n FROM nv) + 0.85 * sum(m.r / m.d) AS r
+        FROM (
+          SELECT pr.it, s.dst, pr.r, deg.d
+          FROM pr JOIN sym s ON pr.v = s.src JOIN deg ON pr.v = deg.v
+          WHERE pr.it < {_PR_ITERS}
+        ) m
+        GROUP BY m.it + 1, m.dst
+      )
+    )
+    SELECT v AS vid, cast(floor(r * 1000000000 + 0.5) AS BIGINT) AS score_nano
+    FROM pr WHERE it = {_PR_ITERS}
+    """,
+)
+def graph_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, fixed {20} synchronous rounds (tol=0 → no early exit)
+    on the symmetric part graph, vs a recursive-CTE power-iteration
+    oracle. Scores floored at 1e-9 — engine/oracle float divergence is
+    ~1e-15 (identical IEEE ops, different summation order only)."""
+    edges = part_graph_edges(spark, sf_dir)
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .withColumn("weight", F.lit(1.0))
+    )
+    ranks = pagerank(sym, alpha=0.85, tol=0.0, max_iter=_PR_ITERS)
+    return ranks.select(
+        "vid",
+        F.floor(F.col("score") * 1000000000 + F.lit(0.5))
+        .cast("long")
+        .alias("score_nano"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "graph_part_label_prop",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    lab(it, v, l) AS (
+      SELECT 0, vid, vid FROM verts
+      UNION ALL
+      SELECT it, v, l FROM (
+        SELECT x.it + 1 AS it, x.dst AS v, x.nl AS l,
+               row_number() OVER (PARTITION BY x.it, x.dst
+                                  ORDER BY x.c DESC, x.nl) AS rn
+        FROM (
+          SELECT lab.it, s.dst, lab.l AS nl, count(*) AS c
+          FROM lab JOIN sym s ON lab.v = s.src
+          WHERE lab.it < {_LP_ITERS}
+          GROUP BY lab.it, s.dst, lab.l
+        ) x
+      ) WHERE rn = 1
+    )
+    SELECT v AS vid, l AS label FROM lab WHERE it = {_LP_ITERS}
+    """,
+)
+def graph_part_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation, {5} rounds, mode-of-neighbors with
+    min-label tie-break (order-insensitive — SURVEY §7.2(c)), vs a
+    recursive-CTE oracle embedding the same window argmax."""
+    edges = part_graph_edges(spark, sf_dir)
+    return label_propagation(edges, max_iter=_LP_ITERS)
+
+
+# --------------------------------------------------------------------------
+# Synthesized-corpus pipeline (BASELINE.json input shape) — rows-only.
+_CORPUS_DOCS = 1200
+_CORPUS_SEED = 42
+
+
+def corpus_tables(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """documents(repo,path,commit,lang,content) → (vertices, edges)
+    through the full vectorized extraction path."""
+    pdf = generate_documents(_CORPUS_DOCS, seed=_CORPUS_SEED)
+    docs = spark.createDataFrame(pdf)
+    vertices = build_vertices(docs)
+    edges = build_edges(docs, vertices)
+    return vertices, edges
+
+
+@register("corpus_edges")
+def corpus_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge extraction end-to-end on the mandated input shape (the
+    reference's citation-fetch stage, gather_articles.py:234-240,
+    re-expressed as one distributed pass). Rows-only check here;
+    exactness is pinned by tests/test_extraction.py."""
+    _, edges = corpus_tables(spark)
+    return edges
+
+
+@register("corpus_pagerank")
+def corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule PageRank to 1e-6 convergence on the extracted corpus
+    graph (oracle: numpy power iteration in tests/oracles.py)."""
+    vertices, edges = corpus_tables(spark)
+    ranks = pagerank(edges, vertices=vertices.select("vid"), tol=1e-6)
+    return ranks.select(
+        "vid",
+        F.floor(F.col("score") * 1000000000 + F.lit(0.5))
+        .cast("long")
+        .alias("score_nano"),
+    )
+
+
+@register("corpus_components")
+def corpus_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vertices, edges = corpus_tables(spark)
+    return connected_components(edges, vertices=vertices.select("vid"))
+
+
+@register("corpus_label_prop")
+def corpus_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vertices, edges = corpus_tables(spark)
+    return label_propagation(edges, vertices=vertices.select("vid"), max_iter=5)
+
+
+@register("corpus_triangles")
+def corpus_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vertices, edges = corpus_tables(spark)
+    return triangle_counts(edges, vertices=vertices.select("vid"))

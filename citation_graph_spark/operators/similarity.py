@@ -1,0 +1,228 @@
+"""Similarity search over the ``embeddings`` table.
+
+Re-expresses the reference's vector surface — the Neo4j cosine vector
+index (neo4j/loader.py:50-74) and its Bloom consumer
+`db.index.vector.queryNodes('article_embeddings', 30, m.embedding)`
+(perspectives/bbp_or_not_perspective.json:1, J13) — as Spark plans:
+
+- brute-force top-k cosine: the correctness baseline (broadcast the
+  query set, score every candidate, window-rank per query);
+- sign-LSH bucketed ANN: the scale path (random-hyperplane-style
+  buckets from coordinate signs; candidates only within a bucket).
+
+All cosine arithmetic runs on quantized integer vectors (exact across
+engines — see dedup.py for the determinism argument).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from citation_graph_spark.operators import register
+from citation_graph_spark.tables import load_tables
+
+_QUANT = (
+    "transform(embedding, x -> cast(floor(cast(x as double) * 1000 + 0.5) as bigint))"
+)
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as bigint), "
+    "(acc, v) -> acc + v)"
+)
+_N_QUERIES = 10
+_TOP_K = 5
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return e.select("vec_id", F.expr(_QUANT).alias("qv")).withColumn(
+        "nrm", F.expr(_DOT.format(a="qv", b="qv"))
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "knn_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> cast(floor(cast(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM q),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_dot_product(a.qv, b.qv) / sqrt(a.nrm * b.nrm) AS cosine
+      FROM n a JOIN n b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {_N_QUERIES}
+    )
+    SELECT query_id, neighbor_id,
+           cast(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_micro, rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {_TOP_K}
+    """,
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (reference J13 'Show Similar Articles',
+    top-30 vector-index query): broadcast the small query set against
+    every candidate partition, score JVM-side, per-query window rank.
+    At cluster scale the broadcast side is the query batch and the scan
+    side stays partition-parallel with no shuffle until the (tiny)
+    per-query top-k aggregation."""
+    q = _quantized(spark, sf_dir)
+    queries = q.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qa"),
+        F.col("nrm").alias("na"),
+    )
+    cands = q.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("qb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.expr(_DOT.format(a="qa", b="qb"))
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(cands)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", dot / F.sqrt((F.col("na") * F.col("nb")).cast("double")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(F.col("cosine") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("cosine_micro"),
+            "rk",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+_SIGN_BITS = 8
+
+
+@register(
+    "ann_sign_lsh",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> cast(floor(cast(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm,
+             {" + ".join(f"(CASE WHEN qv[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(_SIGN_BITS))}
+               AS bucket
+      FROM q
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket,
+             list_dot_product(a.qv, b.qv) / sqrt(a.nrm * b.nrm) AS cosine
+      FROM n a JOIN n b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < {_N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, bucket,
+           cast(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_micro, rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN — the scale path for J13: bucket by
+    the sign pattern of the leading coordinates (a fixed
+    random-hyperplane family), then score only within-bucket candidate
+    pairs. Shuffles on the bucket key instead of materializing the
+    all-pairs cross product."""
+    q = _quantized(spark, sf_dir)
+    bucket = None
+    for i in range(_SIGN_BITS):
+        bit = F.when(F.element_at("qv", i + 1) >= 0, F.lit(1 << i)).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    q = q.withColumn("bucket", bucket)
+    queries = q.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qa"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    cands = q.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("qb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
+    )
+    dot = F.expr(_DOT.format(a="qa", b="qb"))
+    scored = (
+        queries.join(cands, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", dot / F.sqrt((F.col("na") * F.col("nb")).cast("double")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            F.floor(F.col("cosine") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("cosine_micro"),
+            "rk",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "embedding_centroids",
+    oracle="""
+    WITH q AS (
+      SELECT label,
+             list_transform(embedding,
+               x -> cast(floor(cast(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    expl AS (
+      SELECT label, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v FROM q
+    ),
+    cent AS (
+      SELECT label, pos, sum(v) AS sv, count(*) AS c FROM expl GROUP BY label, pos
+    )
+    SELECT label, max(c) AS n_vectors,
+           cast(floor(sqrt(sum((sv * 1.0 / c) * (sv * 1.0 / c))) * 1000 + 0.5)
+                AS BIGINT) AS centroid_norm_milli
+    FROM cent GROUP BY label
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm (the reduce step of IVF index building:
+    coarse centroids first, residual buckets second). Positional
+    explode + two-level aggregation — the classic array-column rollup.
+    """
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.select("label", F.expr(_QUANT).alias("qv"))
+    expl = q.select("label", F.posexplode("qv").alias("pos", "v"))
+    cent = expl.groupBy("label", "pos").agg(
+        F.sum("v").alias("sv"), F.count(F.lit(1)).alias("c")
+    )
+    mean = F.col("sv") / F.col("c")
+    return cent.groupBy("label").agg(
+        F.max("c").alias("n_vectors"),
+        F.floor(F.sqrt(F.sum(mean * mean)) * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("centroid_norm_milli"),
+    )

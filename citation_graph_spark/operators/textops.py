@@ -1,0 +1,211 @@
+"""Text-analysis operators over the ``documents`` table.
+
+The large-scale training-data-pipeline surface: token counting,
+quality scoring, heuristic language ID and content fingerprinting —
+all pure column expressions (JVM-side, whole-stage codegen; zero
+Python in the hot path), mirroring how the reference keeps its text
+normalizers as vectorizable string ops (reference F1 normalize_title
+utils.py:76-98, F5 author-name normalizers combine_serp.py:43-58).
+
+Cross-engine parity notes: tokenization is ``trim`` + split on
+``\\s+`` on both engines; ratios are exact integer-over-integer double
+divisions; hashes are md5/sha256 hex (identical output on both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from citation_graph_spark.operators import register
+from citation_graph_spark.tables import load_tables
+
+_STOP_EN = ("the", "a", "of", "and", "is", "to")
+_STOP_DE = ("der", "die", "das", "und", "ist")
+_STOP_ES = ("el", "la", "los", "y", "es")
+
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+'))          AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
+           length(text)                                        AS n_chars
+    FROM documents
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per document
+    — the unit-of-work estimator every training pipeline needs."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")).alias(
+            "bpe_tokens"
+        ),
+        F.length("text").alias("n_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "text_quality",
+    oracle=rf"""
+    WITH feats AS (
+      SELECT lang,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             length(text) AS n_chars,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             t -> t IN ({_sql_list(_STOP_EN)}))) AS n_stop,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(avg(n_tokens), 4)                            AS avg_tokens,
+           round(avg(n_chars * 1.0 / n_tokens), 4)            AS avg_token_len,
+           round(avg(n_stop * 1.0 / n_tokens), 4)             AS stopword_ratio,
+           round(avg(n_punct * 1.0 / n_chars), 4)             AS punct_ratio
+    FROM feats GROUP BY lang
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality profile: token/char statistics, stopword
+    ratio, punctuation density — length/punct/stopword heuristics are
+    the standard pre-training quality filters."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stop_arr = F.array(*[F.lit(w) for w in _STOP_EN])
+    feats = d.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).alias(
+            "n_stop"
+        ),
+        F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).alias("n_punct"),
+    )
+    return feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg(F.col("n_chars") / F.col("n_tokens")), 4).alias("avg_token_len"),
+        F.round(F.avg(F.col("n_stop") / F.col("n_tokens")), 4).alias("stopword_ratio"),
+        F.round(F.avg(F.col("n_punct") / F.col("n_chars")), 4).alias("punct_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "lang_id_heuristic",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             t -> t IN ({_sql_list(_STOP_EN)}))) AS s_en,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             t -> t IN ({_sql_list(_STOP_DE)}))) AS s_de,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             t -> t IN ({_sql_list(_STOP_ES)}))) AS s_es
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 THEN 'unknown'
+                WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_es THEN 'de'
+                ELSE 'es' END AS predicted,
+           count(*) AS n_docs
+    FROM scored GROUP BY lang, predicted
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (n-gram-heuristic class): score each
+    document against per-language stopword sets, argmax with a fixed
+    deterministic precedence (en > de > es on ties)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+
+    def score(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scored = d.select(
+        "lang",
+        score(_STOP_EN).alias("s_en"),
+        score(_STOP_DE).alias("s_de"),
+        score(_STOP_ES).alias("s_es"),
+    )
+    predicted = (
+        F.when(
+            (F.col("s_en") == 0) & (F.col("s_de") == 0) & (F.col("s_es") == 0),
+            "unknown",
+        )
+        .when((F.col("s_en") >= F.col("s_de")) & (F.col("s_en") >= F.col("s_es")), "en")
+        .when(F.col("s_de") >= F.col("s_es"), "de")
+        .otherwise("es")
+    )
+    return (
+        scored.withColumn("predicted", predicted)
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "doc_fingerprints",
+    oracle=r"""
+    SELECT doc_id,
+           substr(sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16)
+             AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint over whitespace-normalized lowercased text
+    (reference F2 sha-id utils.py:56-73 generalized to a dedup
+    fingerprint). Joining on the fingerprint is the exact-dedup path."""
+    d = load_tables(spark, sf_dir)["documents"]
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select(
+        "doc_id", F.substring(F.sha2(norm, 256), 1, 16).alias("fingerprint")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "top_terms_per_lang",
+    oracle=r"""
+    SELECT lang, term, n, rk FROM (
+      SELECT lang, term, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rk
+      FROM (
+        SELECT lang, term, count(*) AS n FROM (
+          SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS term
+          FROM documents
+        ) GROUP BY lang, term
+      )
+    ) WHERE rk <= 5
+    """,
+)
+def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k terms per language (reference A8 'Top $x keywords per
+    year', perspectives/topics.json:1 — explode + count + window)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    counts = (
+        d.select("lang", F.explode(toks).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "term", "n", "rk")
+    )

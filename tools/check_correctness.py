@@ -1,0 +1,134 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and, where an oracle exists,
+the matching DuckDB SQL over the same parquet tables; compares row
+count, column names/types-loosely, and an order-insensitive value hash
+(columns sorted by name, rows sorted, values stringified with float
+normalization). Mirrors the driver contract described in
+__spark_entry__.py.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+from citation_graph_spark.tables import TABLE_NAMES  # noqa: E402
+
+
+def norm_val(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.10g}"
+    return str(v)
+
+
+def table_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted(
+        "\x01".join(norm_val(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    from citation_graph_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="check-correctness")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    failures = []
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.monotonic()
+        try:
+            df = fn(spark, SF_DIR)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures.append(name)
+            continue
+        spark_wall = time.monotonic() - t0
+        if name not in oracles:
+            print(
+                f"ok?   {name}: rows={len(rows)} (rows-only, no oracle)"
+                f" [{spark_wall:.1f}s]"
+            )
+            if len(rows) == 0:
+                print(f"WARN  {name}: zero rows")
+            continue
+        try:
+            ores = con.sql(oracles[name])
+            ocols = [d[0] for d in ores.description]
+            orows = ores.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(rows) != len(orows):
+            problems.append(f"rowcount spark={len(rows)} duck={len(orows)}")
+        if sorted(cols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(cols)} duck={sorted(ocols)}")
+        if not problems:
+            hs, hd = table_hash(rows, cols), table_hash(orows, ocols)
+            if hs != hd:
+                problems.append(f"valuehash spark={hs} duck={hd}")
+                # show a sample mismatch for debugging
+                order_s = sorted(range(len(cols)), key=lambda i: cols[i])
+                order_d = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                ls = sorted(
+                    "\x01".join(norm_val(r[i]) for i in order_s) for r in rows
+                )
+                ld = sorted(
+                    "\x01".join(norm_val(r[i]) for i in order_d) for r in orows
+                )
+                for a, b in zip(ls, ld):
+                    if a != b:
+                        print(f"      first diff:\n      spark: {a!r}\n      duck : {b!r}")
+                        break
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)} [{spark_wall:.1f}s]")
+            failures.append(name)
+        else:
+            print(f"PASS  {name}: rows={len(rows)} [{spark_wall:.1f}s]")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        return 1
+    print("all checked queries match")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
