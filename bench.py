@@ -1,0 +1,115 @@
+"""Bench harness — one JSON line per run (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and the
+north-rule PageRank pipeline (synthesized corpus → vectorized
+extraction → iterative kernel) at bench scale, then prints ONE JSON
+line::
+
+    {"metric": "headline_total_wall", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <float>,
+     "pagerank": {iterations, iters_per_sec, edges, edges_per_sec}}
+
+The per-query set deliberately spans the engine surface: scan+agg,
+multi-join star, as-of join, sessionization, MinHash LSH, shingle
+Jaccard, brute-force kNN, text profiling, and the four graph kernels
+on the co-order part graph. Quadratic correctness baselines
+(all-pairs cosine/simhash joins) are excluded — LSH is the scale path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_customers",
+    "nation_trade_pairs",
+    "asof_view_before_purchase",
+    "event_sessions",
+    "text_quality",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "knn_cosine_topk",
+    "graph_part_degrees",
+    "graph_part_components",
+    "graph_part_pagerank",
+    "graph_part_triangles",
+]
+
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+
+
+def main() -> None:
+    from citation_graph_spark.session import get_spark
+    from citation_graph_spark import operators
+
+    operators.load_all()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="cgs-bench")
+    t_all = time.monotonic()
+    query_secs: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = operators.QUERIES[name]
+        t0 = time.monotonic()
+        n = fn(spark, sf_dir).count()
+        query_secs[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {n} rows in {query_secs[name]}s", file=sys.stderr)
+
+    # north-rule metric: PageRank iterations/sec + edges/sec to 1e-6
+    # convergence on the extracted corpus edge table
+    from citation_graph_spark.fixtures.corpus import generate_documents
+    from citation_graph_spark.graph.ids import build_vertices
+    from citation_graph_spark.extraction import build_edges
+    from citation_graph_spark.graph import pagerank
+
+    t0 = time.monotonic()
+    docs = spark.createDataFrame(generate_documents(BENCH_DOCS, seed=42))
+    verts = build_vertices(docs).cache()
+    edges = build_edges(docs, verts).cache()
+    n_edges = edges.count()
+    extract_s = time.monotonic() - t0
+
+    with tempfile.NamedTemporaryFile(suffix=".jsonl", delete=False) as f:
+        metrics_path = f.name
+    t0 = time.monotonic()
+    pagerank(edges, verts.select("vid"), tol=1e-6, metrics_path=metrics_path).count()
+    pr_s = time.monotonic() - t0
+    with open(metrics_path) as f:
+        recs = [json.loads(ln) for ln in f]
+    iters = max(r["iteration"] for r in recs)
+    query_secs["corpus_extraction"] = round(extract_s, 3)
+    query_secs["corpus_pagerank"] = round(pr_s, 3)
+
+    total = time.monotonic() - t_all
+    out = {
+        "metric": "headline_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": query_secs,
+        "sf": sf,
+        "pagerank": {
+            "bench_docs": BENCH_DOCS,
+            "edges": n_edges,
+            "iterations": iters,
+            "iters_per_sec": round(iters / pr_s, 3),
+            "edges_per_sec": round(iters * n_edges / pr_s, 1),
+        },
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

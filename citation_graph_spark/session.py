@@ -43,6 +43,20 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 4)
 
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    # This sandbox kernel has a very slow page-fault path (measured:
+    # a growing 24g heap made a 1s job take 46s). Fix: fixed-size heap
+    # (-Xms == -Xmx) pre-touched once at JVM start, and a GC that never
+    # uncommits (ParallelGC) so pages are faulted exactly once. On a
+    # normal cluster these flags are merely harmless throughput
+    # defaults.
+    java_opts = f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseParallelGC"
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+    try:
+        os.makedirs(local_dir, exist_ok=True)
+    except OSError:
+        local_dir = None
+
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -55,8 +69,11 @@ def get_spark(
         # iterative kernels checkpoint through this dir (lineage truncation)
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", mem)
+        .config("spark.driver.extraJavaOptions", java_opts)
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if master:
         builder = builder.master(master)
     if extra_conf:
