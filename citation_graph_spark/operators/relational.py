@@ -22,22 +22,42 @@ from citation_graph_spark.operators import register
 from citation_graph_spark.tables import load_tables
 
 
+def _cents(col) -> "F.Column":
+    """Money column (cent-quantized double) → exact integer cents.
+
+    Cross-engine determinism device: sums over bigint cents are exact in
+    any order, so Spark and the DuckDB oracle produce bit-identical
+    aggregates; doubles reappear only in a final identical expression.
+    (At warehouse scale the engine-native answer is DecimalType —
+    this keeps the oracle-checked surface order-insensitive.)"""
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
 # --------------------------------------------------------------------------
 # A6/P3/P9 — scan + filter + wide algebraic aggregate (TPC-H Q1 shape)
 @register(
     "pricing_summary",
     oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             cast(floor(l_quantity      * 100 + 0.5) AS BIGINT) AS qty_c,
+             cast(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+             cast(floor(l_discount      * 100 + 0.5) AS BIGINT) AS disc_c,
+             cast(floor(l_tax           * 100 + 0.5) AS BIGINT) AS tax_c
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                  AS sum_qty,
-           round(sum(l_extendedprice), 2)                             AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)          AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4)                                  AS avg_qty,
-           round(avg(l_extendedprice), 4)                             AS avg_price,
-           count(*)                                                   AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
+           sum(qty_c)   / 100.0                                     AS sum_qty,
+           sum(price_c) / 100.0                                     AS sum_base_price,
+           floor(sum(price_c * (100 - disc_c)) / 100.0 + 0.5) / 100.0
+                                                                    AS sum_disc_price,
+           floor(sum(price_c * (100 - disc_c) * (100 + tax_c)) / 10000.0 + 0.5)
+             / 100.0                                                AS sum_charge,
+           floor(sum(qty_c)   * 100.0 / count(*) + 0.5) / 10000.0   AS avg_qty,
+           floor(sum(price_c) * 100.0 / count(*) + 0.5) / 10000.0   AS avg_price,
+           count(*)                                                 AS count_order
+    FROM c GROUP BY l_returnflag, l_linestatus
     """,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,18 +65,35 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     scripts/serp_data_processor.py:69-96; P9 date predicate,
     perspectives 'Articles published between')."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty_c = _cents(F.col("l_quantity"))
+    price_c = _cents(F.col("l_extendedprice"))
+    disc_c = _cents(F.col("l_discount"))
+    tax_c = _cents(F.col("l_tax"))
+    cnt = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.count(F.lit(1)).alias("count_order"),
+            (F.sum(qty_c) / 100.0).alias("sum_qty"),
+            (F.sum(price_c) / 100.0).alias("sum_base_price"),
+            (
+                F.floor(F.sum(price_c * (100 - disc_c)) / 100.0 + F.lit(0.5))
+                / 100.0
+            ).alias("sum_disc_price"),
+            (
+                F.floor(
+                    F.sum(price_c * (100 - disc_c) * (100 + tax_c)) / 10000.0
+                    + F.lit(0.5)
+                )
+                / 100.0
+            ).alias("sum_charge"),
+            (F.floor(F.sum(qty_c) * 100.0 / cnt + F.lit(0.5)) / 10000.0).alias(
+                "avg_qty"
+            ),
+            (F.floor(F.sum(price_c) * 100.0 / cnt + F.lit(0.5)) / 10000.0).alias(
+                "avg_price"
+            ),
+            cnt.alias("count_order"),
         )
     )
 
@@ -90,7 +127,8 @@ def orders_per_customer_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_name,
            count(*)                                         AS n_customers,
            count(CASE WHEN c_acctbal > 0 THEN 1 END)        AS n_positive_bal,
-           round(avg(c_acctbal), 2)                         AS avg_bal
+           floor(sum(cast(floor(c_acctbal * 100 + 0.5) AS BIGINT)) * 1.0
+                 / count(*) + 0.5) / 100.0                  AS avg_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
     """,
@@ -107,7 +145,13 @@ def nation_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.count(F.when(F.col("c_acctbal") > 0, 1)).alias("n_positive_bal"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            (
+                F.floor(
+                    F.sum(_cents(F.col("c_acctbal"))) * 1.0 / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / 100.0
+            ).alias("avg_bal"),
         )
     )
 
@@ -269,7 +313,8 @@ def brands_with_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            count(*) AS n_items,
-           round(sum(l_extendedprice), 2) AS revenue
+           sum(cast(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
+             AS revenue
     FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey  = c_custkey
@@ -299,7 +344,7 @@ def nation_trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cust_nation", "supp_nation")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            (F.sum(_cents(F.col("l_extendedprice"))) / 100.0).alias("revenue"),
         )
     )
 
@@ -338,7 +383,9 @@ def co_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "segment_union_tagged",
     oracle="""
-    SELECT tag, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal FROM (
+    SELECT tag, count(*) AS n,
+           sum(cast(floor(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0
+             AS total_bal FROM (
       SELECT 'building' AS tag, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING'
       UNION ALL
       SELECT 'negative' AS tag, c_acctbal FROM customer WHERE c_acctbal < 0
@@ -360,7 +407,7 @@ def segment_union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tag")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            (F.sum(_cents(F.col("c_acctbal"))) / 100.0).alias("total_bal"),
         )
     )
 
@@ -421,10 +468,12 @@ def customers_ordering_and_active(spark: SparkSession, sf_dir: str) -> DataFrame
     "order_event_totals",
     oracle="""
     WITH o AS (SELECT o_custkey AS k, count(*) AS n_orders,
-                      round(sum(o_totalprice), 2) AS order_total
+                      sum(cast(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                            / 100.0 AS order_total
                FROM orders GROUP BY o_custkey),
          e AS (SELECT user_id AS k, count(*) AS n_events,
-                      round(sum(value), 2) AS event_total
+                      sum(cast(floor(value * 100 + 0.5) AS BIGINT))
+                            / 100.0 AS event_total
                FROM events GROUP BY user_id)
     SELECT coalesce(o.k, e.k)            AS ckey,
            coalesce(n_orders, 0)         AS n_orders,
@@ -446,7 +495,7 @@ def order_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("k"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("order_total"),
+            (F.sum(_cents(F.col("o_totalprice"))) / 100.0).alias("order_total"),
         )
     )
     e = (
@@ -454,7 +503,7 @@ def order_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("user_id").alias("k"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("event_total"),
+            (F.sum(_cents(F.col("value"))) / 100.0).alias("event_total"),
         )
     )
     j = o.join(e, "k", "full_outer")
@@ -507,7 +556,8 @@ def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN o_totalprice < 150000 THEN 'mid'
                 WHEN o_totalprice < 300000 THEN 'large'
                 ELSE 'xl' END AS band,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n,
+           sum(cast(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total
     FROM orders GROUP BY band
     """,
 )
@@ -526,7 +576,7 @@ def order_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            (F.sum(_cents(F.col("o_totalprice"))) / 100.0).alias("total"),
         )
     )
 
@@ -584,7 +634,8 @@ def customer_uid_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_by_month_1996",
     oracle="""
     SELECT strftime(o_orderdate, '%Y-%m') AS month,
-           count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+           count(*) AS n_orders,
+           sum(cast(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -604,7 +655,7 @@ def orders_by_month_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            (F.sum(_cents(F.col("o_totalprice"))) / 100.0).alias("total"),
         )
     )
 
@@ -637,7 +688,10 @@ def docs_mentioning_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_revenue_customers",
     oracle="""
     WITH rev AS (
-      SELECT o_custkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      SELECT o_custkey,
+             floor(sum(cast(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - cast(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                   / 100.0 + 0.5) / 100.0 AS revenue
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_custkey
     )
@@ -658,8 +712,16 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                F.floor(
+                    F.sum(
+                        _cents(F.col("l_extendedprice"))
+                        * (100 - _cents(F.col("l_discount")))
+                    )
+                    / 100.0
+                    + F.lit(0.5)
+                )
+                / 100.0
             ).alias("revenue")
         )
     )

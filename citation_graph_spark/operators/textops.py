@@ -68,10 +68,10 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT lang, count(*) AS n_docs,
-           round(avg(n_tokens), 4)                            AS avg_tokens,
-           round(avg(n_chars * 1.0 / n_tokens), 4)            AS avg_token_len,
-           round(avg(n_stop * 1.0 / n_tokens), 4)             AS stopword_ratio,
-           round(avg(n_punct * 1.0 / n_chars), 4)             AS punct_ratio
+           floor(sum(n_tokens) * 10000.0 / count(*) + 0.5) / 10000.0     AS avg_tokens,
+           floor(sum(n_chars) * 10000.0 / sum(n_tokens) + 0.5) / 10000.0 AS avg_token_len,
+           floor(sum(n_stop) * 10000.0 / sum(n_tokens) + 0.5) / 10000.0  AS stopword_ratio,
+           floor(sum(n_punct) * 10000.0 / sum(n_chars) + 0.5) / 10000.0  AS punct_ratio
     FROM feats GROUP BY lang
     """,
 )
@@ -91,12 +91,22 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).alias("n_punct"),
     )
+    def ratio4(num, den):
+        # corpus-level ratio over exact integer sums: identical IEEE ops
+        # on both engines (never round(double, n) — Spark rounds the
+        # shortest decimal repr, DuckDB the binary value; they disagree
+        # at .xxx5 boundaries)
+        return F.floor(F.sum(num) * 10000.0 / F.sum(den) + F.lit(0.5)) / 10000.0
+
     return feats.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-        F.round(F.avg(F.col("n_chars") / F.col("n_tokens")), 4).alias("avg_token_len"),
-        F.round(F.avg(F.col("n_stop") / F.col("n_tokens")), 4).alias("stopword_ratio"),
-        F.round(F.avg(F.col("n_punct") / F.col("n_chars")), 4).alias("punct_ratio"),
+        (
+            F.floor(F.sum("n_tokens") * 10000.0 / F.count(F.lit(1)) + F.lit(0.5))
+            / 10000.0
+        ).alias("avg_tokens"),
+        ratio4(F.col("n_chars"), F.col("n_tokens")).alias("avg_token_len"),
+        ratio4(F.col("n_stop"), F.col("n_tokens")).alias("stopword_ratio"),
+        ratio4(F.col("n_punct"), F.col("n_chars")).alias("punct_ratio"),
     )
 
 

@@ -53,10 +53,16 @@ def spark_submit(zip_path: str, docs_path: str, cores: int) -> dict:
         "spark-submit",
         "--master",
         f"local[{cores}]",
-        # must be on the submit line: the driver JVM is already running
-        # by the time SparkSession.builder confs are read
+        # memory/JVM flags must be on the submit line: the driver JVM is
+        # already running by the time SparkSession.builder confs are read.
+        # Fixed-size pre-touched heap: this kernel's page-fault path is
+        # ~10x slow (see session.py).
         "--driver-memory",
-        "48g",
+        "24g",
+        "--conf",
+        "spark.driver.extraJavaOptions=-Xms24g -XX:+AlwaysPreTouch -XX:+UseParallelGC",
+        "--conf",
+        "spark.local.dir=/dev/shm/spark-local",
         "--py-files",
         zip_path,
         os.path.join(REPO, "tools", "scaling_job.py"),

@@ -1,11 +1,12 @@
 """Scaling-evidence job: extraction + fixed PageRank rounds on a
 pre-materialized corpus parquet.
 
-Launched via ``spark-submit --py-files`` (north-rule launch mode) by
-tools/scaling_bench.py at two parallelism levels; prints one JSON line
-with phase walls so the bench can compute N→4N scaling efficiency.
+Master, memory and JVM flags come from the spark-submit command line
+(tools/scaling_bench.py for local[N] levels, tools/cluster_bench.py for
+a real standalone cluster at N vs 4N executors). Prints one JSON line
+with phase walls.
 
-Usage: scaling_job.py <docs_parquet> <cores> <pagerank_iters>
+Usage: scaling_job.py <docs_parquet> <shuffle_partitions> <pagerank_iters>
 """
 
 from __future__ import annotations
@@ -16,19 +17,16 @@ import time
 
 
 def main() -> None:
-    docs_path, cores, iters = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    docs_path, parts, iters = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 
     from pyspark.sql import SparkSession
 
     spark = (
-        SparkSession.builder.appName(f"cgs-scaling-{cores}")
-        .master(f"local[{cores}]")
-        .config("spark.sql.shuffle.partitions", str(cores))
-        .config("spark.default.parallelism", str(cores))
+        SparkSession.builder.appName("cgs-scaling")
+        .config("spark.sql.shuffle.partitions", str(parts))
+        .config("spark.default.parallelism", str(parts))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "48g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -37,7 +35,7 @@ def main() -> None:
     from citation_graph_spark.extraction import build_edges
     from citation_graph_spark.graph import pagerank
 
-    docs = spark.read.parquet(docs_path).repartition(cores * 4)
+    docs = spark.read.parquet(docs_path).repartition(parts * 2)
 
     t0 = time.monotonic()
     verts = build_vertices(docs).cache()
@@ -47,13 +45,15 @@ def main() -> None:
     extract_s = time.monotonic() - t0
 
     t0 = time.monotonic()
-    pagerank(edges, verts.select("vid"), tol=0.0, max_iter=iters).count()
+    pagerank(
+        edges, verts.select("vid"), tol=0.0, max_iter=iters, num_partitions=parts
+    ).count()
     pr_s = time.monotonic() - t0
 
     print(
         json.dumps(
             {
-                "cores": cores,
+                "shuffle_partitions": parts,
                 "vertices": n_verts,
                 "edges": n_edges,
                 "iterations": iters,
