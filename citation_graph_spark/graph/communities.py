@@ -27,7 +27,7 @@ import time
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from citation_graph_spark.graph.degrees import undirect
+from citation_graph_spark.graph.degrees import auto_partitions, undirect
 from citation_graph_spark.metrics import MetricsLogger
 
 
@@ -41,12 +41,15 @@ def label_propagation(
     """Returns ``(vid: long, label: long)`` after ``max_iter`` synchronous
     rounds (or earlier fixpoint)."""
     spark = edges.sparkSession
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     metrics = MetricsLogger(metrics_path, "label_propagation")
 
-    und = undirect(edges).repartition(num_partitions, "src").persist()
+    und0 = undirect(edges).persist()
+    n_und = und0.count()
+    if num_partitions is None:
+        num_partitions = auto_partitions(spark, n_und)
+    und = und0.repartition(num_partitions, "src").persist()
     und.count()
+    und0.unpersist()
     if vertices is None:
         vertices = und.select(F.col("src").alias("vid")).distinct()
     vertices = vertices.select("vid")

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from citation_graph_spark.checkpointing import CheckpointManager
-from citation_graph_spark.graph.degrees import undirect
+from citation_graph_spark.graph.degrees import auto_partitions, undirect
 from citation_graph_spark.metrics import MetricsLogger
 
 
@@ -50,13 +50,16 @@ def connected_components(
         return _star_components(edges, vertices, max_iter, metrics_path)
 
     spark = edges.sparkSession
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     metrics = MetricsLogger(metrics_path, "connected_components")
     ckpt = CheckpointManager(checkpoint_dir, "components") if checkpoint_dir else None
 
-    und = undirect(edges).repartition(num_partitions, "src").persist()
+    und0 = undirect(edges).persist()
+    n_und = und0.count()
+    if num_partitions is None:
+        num_partitions = auto_partitions(spark, n_und)
+    und = und0.repartition(num_partitions, "src").persist()
     und.count()
+    und0.unpersist()
 
     if vertices is None:
         vertices = und.select(F.col("src").alias("vid")).distinct()

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from citation_graph_spark.checkpointing import CheckpointManager
+from citation_graph_spark.graph.degrees import auto_partitions
 from citation_graph_spark.metrics import MetricsLogger
 
 
@@ -62,8 +63,6 @@ def pagerank(
     If omitted it is derived from edge endpoints.
     """
     spark = edges.sparkSession
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     metrics = MetricsLogger(metrics_path, "pagerank")
     ckpt = CheckpointManager(checkpoint_dir, "pagerank") if checkpoint_dir else None
@@ -78,13 +77,18 @@ def pagerank(
 
     # normalize edge weights by (weighted) out-degree once, up front
     out_deg = edges.groupBy("src").agg(F.sum("weight").alias("_wout"))
-    edges_n = (
+    edges_n0 = (
         edges.join(out_deg, "src")
         .select("src", "dst", (F.col("weight") / F.col("_wout")).alias("wnorm"))
-        .repartition(num_partitions, "src")
         .persist()
     )
-    edge_count = edges_n.count()  # materialize the cached, partitioned edges
+    edge_count = edges_n0.count()
+    if num_partitions is None:
+        num_partitions = auto_partitions(spark, edge_count)
+    # pin the co-partitioning every round reuses (SURVEY §4.3)
+    edges_n = edges_n0.repartition(num_partitions, "src").persist()
+    edges_n.count()
+    edges_n0.unpersist()
 
     n = vertices.count()
     if n == 0:

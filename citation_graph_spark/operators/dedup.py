@@ -65,7 +65,13 @@ _SHINGLE_CTE = r"""
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — distinct 3-word shingles, pure array algebra."""
+    """(doc_id, shingle) — distinct 3-word shingles, pure array algebra.
+
+    Repartitions first: document tables arrive as few large parquet
+    splits, and the split/transform pipeline is the CPU-heavy step —
+    without the spread it runs at file-count parallelism."""
+    parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    docs = docs.repartition(parts, "doc_id")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     shingle_arr = F.when(
         F.size(toks) >= 3,
@@ -127,7 +133,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     then exact |∩|/|∪| — the J7 block-then-score shape
     (combine_serp.py:88-141) with set overlap instead of rapidfuzz."""
     d = load_tables(spark, sf_dir)["documents"]
-    sh = _shingles(d)
+    # referenced three times below (sizes + both join sides): persist so
+    # the split/transform/explode pipeline runs once, not three times
+    sh = _shingles(d).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("d1"), "shingle")
     b = sh.select(F.col("doc_id").alias("d2"), "shingle")
@@ -244,7 +252,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document: per-bit sign aggregation of token
     hashes (bit test via modulo — engine-portable, no shift ops)."""
     d = load_tables(spark, sf_dir)["documents"]
-    toks = d.select(
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    toks = d.repartition(parts, "doc_id").select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias("w"),
     )

@@ -1,0 +1,93 @@
+"""Structured Streaming ingestion for the events table.
+
+The reference is pure batch (SURVEY §2.10 — its closest analogs are
+file-level checkpoint/resume, carried over in checkpointing.py). This
+module adds the streaming surface a continuously-fed link-graph
+pipeline needs: watermarked event-time windows over an append-only
+event source, with exactly the aggregates the batch serving layer
+exposes — so streaming results are testable against the batch engine
+on identical data (tests/test_streaming.py asserts equality).
+
+Scale posture: source = file/Kafka stream partitioned by arrival;
+state = windowed partial aggregates bounded by the watermark; sink =
+append-mode parquet/Iceberg. The aggregation is algebraic, so state
+per (window, key) is O(1) — no per-event state growth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Append-only parquet directory → streaming DataFrame.
+
+    ``maxFilesPerTrigger`` is the ingestion throttle (the pattern the
+    reference implements by hand as HTTP rate limiting,
+    scripts/serp_fetch_citations.py:62-64)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(source_dir)
+
+
+def windowed_event_stats(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate per event type.
+
+    Late rows beyond ``watermark`` are dropped deterministically;
+    everything else lands in its event-time window regardless of
+    arrival order — the streaming analog of the batch
+    ``orders_by_month`` rollup (operators/relational.py).
+
+    Watermarks require zoned TIMESTAMP; the NTZ source column is cast
+    in-session (UTC in tests), identically on the batch comparator."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "value_cents"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def stream_event_counts(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+) -> DataFrame:
+    """Run the windowed aggregation over everything currently in
+    ``source_dir`` with availableNow (batch-like, but through the full
+    streaming engine: state store, watermarks, checkpointing), write to
+    an in-memory sink, return the result table."""
+    stats = windowed_event_stats(read_event_stream(spark, source_dir), window)
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("event_stats")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("event_stats")

@@ -1,0 +1,55 @@
+"""Behavioral parity tests for the scalar-function library
+(citation_graph_spark.functions vs the reference's Python helpers —
+SURVEY §2.8 F1-F5)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from citation_graph_spark import functions as cgf
+
+
+def _one(spark, col, value):
+    return (
+        spark.createDataFrame([(value,)], "s string").select(col.alias("r")).collect()
+    )[0]["r"]
+
+
+def test_normalize_title(spark):
+    # reference utils.py:76-98: alpha only, no spaces, lower, 30 chars
+    assert _one(spark, cgf.normalize_title(F.col("s")), "The Blue-Brain  Project!") == (
+        "thebluebrainproject"
+    )
+    long = "A" * 50
+    assert _one(spark, cgf.normalize_title(F.col("s")), long) == "a" * 30
+
+
+def test_generate_uid_is_8_hex(spark):
+    uid = _one(spark, cgf.generate_uid(F.col("s")), "Jane Doe")
+    assert len(uid) == 8 and all(c in "0123456789abcdef" for c in uid)
+    assert uid != _one(spark, cgf.generate_uid(F.col("s")), "John Doe")
+
+
+def test_lenient_date(spark):
+    # reference utils.py:109-137: bare year → Jan 1
+    assert str(_one(spark, cgf.lenient_date(F.col("s")), "2021")) == "2021-01-01"
+    assert str(_one(spark, cgf.lenient_date(F.col("s")), "2021-07-15")) == "2021-07-15"
+    assert _one(spark, cgf.lenient_date(F.col("s")), "not a date") is None
+
+
+def test_strip_quotes(spark):
+    assert _one(spark, cgf.strip_quotes(F.col("s")), "\"it's\" quoted") == "its quoted"
+
+
+def test_author_name_helpers(spark):
+    assert (
+        _one(spark, cgf.normalize_author_name(F.col("s")), "  Jean-Luc   PICARD ")
+        == "jeanluc picard"
+    )
+    assert _one(spark, cgf.initials(F.col("s")), "Jean Luc Picard") == "JLP"
+    assert _one(spark, cgf.last_name(F.col("s")), "Jean Luc Picard") == "Picard"
+
+
+def test_char_bigrams(spark):
+    grams = _one(spark, cgf.char_bigrams(F.col("s")), "abca")
+    assert sorted(grams) == ["ab", "bc", "ca"]

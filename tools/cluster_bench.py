@@ -49,7 +49,7 @@ MASTER_UI = 8080
 # bring their own memory bus. Larger per-executor shapes on this one
 # box measure the shared bus, not Spark's scaling.
 CORES_PER_EXEC = 2
-EXEC_MEM = "6g"
+EXEC_MEM = "12g"
 LEVELS = (1, 4)
 
 SPARK_CLASS = "/opt/spark/bin/spark-class"
@@ -96,7 +96,13 @@ def materialize_corpus(path: str) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pq.write_table(pa.Table.from_pandas(generate_documents(N_DOCS, seed=42)), path)
+    # small row groups -> the scan splits across executors instead of
+    # serializing on one reader task
+    pq.write_table(
+        pa.Table.from_pandas(generate_documents(N_DOCS, seed=42)),
+        path,
+        row_group_size=25_000,
+    )
 
 
 def submit(zip_path: str, docs_path: str, n_workers: int) -> dict:
@@ -161,7 +167,7 @@ def main() -> None:
                         [SPARK_CLASS, "org.apache.spark.deploy.worker.Worker",
                          "--host", HOST, "--port", str(9100 + i),
                          "--webui-port", str(8180 + i),
-                         "--cores", str(CORES_PER_EXEC), "--memory", "8g",
+                         "--cores", str(CORES_PER_EXEC), "--memory", "14g",
                          f"spark://{HOST}:{MASTER_PORT}"],
                         log,
                     )
