@@ -226,3 +226,127 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("centroid_norm_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+_NPROBE = 2
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> cast(floor(cast(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    expl AS (
+      SELECT label, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v FROM q
+    ),
+    cent AS (
+      SELECT label AS cl, pos, sum(v) * 1.0 / count(*) AS cv
+      FROM expl GROUP BY label, pos
+    ),
+    vec_expl AS (
+      SELECT vec_id, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v FROM q
+    ),
+    dists AS (
+      SELECT vec_id, cl, sum((v - cv) * (v - cv)) AS d2
+      FROM vec_expl JOIN cent ON vec_expl.pos = cent.pos
+      GROUP BY vec_id, cl
+    ),
+    assign AS (
+      SELECT vec_id, cl AS bucket FROM (
+        SELECT vec_id, cl,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cl AS bucket FROM (
+        SELECT vec_id, cl,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+        FROM dists
+      ) WHERE rn <= {_NPROBE} AND vec_id < {_N_QUERIES}
+    ),
+    n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM q),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_dot_product(nq.qv, nc.qv) / sqrt(nq.nrm * nc.nrm) AS cosine
+      FROM probes p
+        JOIN assign a ON a.bucket = p.bucket
+        JOIN n nq ON nq.vec_id = p.query_id
+        JOIN n nc ON nc.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id,
+           cast(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_micro, rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """
+
+
+@register("ann_ivf", oracle=_ivf_oracle())
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN — the other J13 scale path: coarse centroids
+    (per-label means over quantized vectors), every vector assigned to
+    its nearest centroid (the inverted file), queries probe the
+    ``nprobe`` nearest lists and score only those candidates. At
+    warehouse scale the inverted lists are the partition key — a query
+    touches nprobe partitions instead of the whole table."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    q = e.select("vec_id", "label", F.expr(_QUANT).alias("qv"))
+    expl = q.select("label", F.posexplode("qv").alias("pos", "v"))
+    cent = expl.groupBy(F.col("label").alias("cl"), "pos").agg(
+        (F.sum("v") * 1.0 / F.count(F.lit(1))).alias("cv")
+    )
+    vec_expl = q.select("vec_id", F.posexplode("qv").alias("pos", "v"))
+    dists = (
+        vec_expl.join(cent, "pos")
+        .groupBy("vec_id", "cl")
+        .agg(F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cl"))
+    ranked = dists.withColumn("rn", F.row_number().over(w))
+    assign = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("cl").alias("bucket")
+    )
+    probes = ranked.filter(
+        (F.col("rn") <= _NPROBE) & (F.col("vec_id") < _N_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), F.col("cl").alias("bucket"))
+    n = q.select("vec_id", "qv").withColumn("nrm", F.expr(_DOT.format(a="qv", b="qv")))
+    nq = n.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qa"),
+        F.col("nrm").alias("na"),
+    )
+    nc = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("qb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.expr(_DOT.format(a="qa", b="qb"))
+    scored = (
+        probes.join(assign, probes["bucket"] == assign["bucket"])
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(nq), "query_id")
+        .join(nc, "neighbor_id")
+        .withColumn("cosine", dot / F.sqrt((F.col("na") * F.col("nb")).cast("double")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(F.col("cosine") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("cosine_micro"),
+            "rk",
+        )
+    )

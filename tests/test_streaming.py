@@ -43,3 +43,37 @@ def test_windowed_stats_match_batch(spark, stream_dirs):
     )
     assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch))
     assert streamed.count() > 0
+
+
+def test_stateful_sessionizer_matches_batch(spark, stream_dirs):
+    """applyInPandasWithState carry across micro-batches == batch
+    window-algebra sessionization, when chunks arrive in event-time
+    order (maxFilesPerTrigger=1 → one chunk per trigger)."""
+    from citation_graph_spark.operators import QUERIES, load_all
+    from citation_graph_spark.streaming.stateful import run_sessionizer
+
+    load_all()
+    src_dir, ckpt_dir = stream_dirs
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    bounds = events.selectExpr(
+        "percentile_approx(ts, 0.33) as t1", "percentile_approx(ts, 0.66) as t2"
+    ).collect()[0]
+    target = os.path.join(src_dir, "stream")
+    chunks = [
+        events.filter(F.col("ts") <= bounds["t1"]),
+        events.filter((F.col("ts") > bounds["t1"]) & (F.col("ts") <= bounds["t2"])),
+        events.filter(F.col("ts") > bounds["t2"]),
+    ]
+    # one file per chunk so trigger order == event-time order
+    for c in chunks:
+        c.coalesce(1).write.mode("append").parquet(target)
+
+    streamed = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in run_sessionizer(spark, target, ckpt_dir).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in QUERIES["event_sessions"](spark, SF_DIR).collect()
+    }
+    assert streamed == batch
