@@ -65,10 +65,18 @@ def build_vertices(docs: DataFrame, num_partitions: int | None = None) -> DataFr
     """documents → vertices(vid, repo, path, lang, content_sha256).
 
     The sha256 column carries the per-row invariant the way ``uid``
-    carries identity in the reference (src/citations/schemas.py:15)."""
+    carries identity in the reference (src/citations/schemas.py:15).
+
+    ``base`` is persisted across assign_dense_ids' two passes (range
+    sampling + the real pass) so the full-content scan + sha256 runs
+    once, not twice — on a wide corpus the content scan dominates."""
     base = docs.select(
         "repo", "path", "lang", F.sha2("content", 256).alias("content_sha256")
-    )
-    return assign_dense_ids(base, ["repo", "path"], num_partitions).select(
+    ).persist()
+    out = assign_dense_ids(base, ["repo", "path"], num_partitions).select(
         "vid", "repo", "path", "lang", "content_sha256"
     )
+    # assign_dense_ids localCheckpoints its sorted intermediate, so the
+    # returned plan no longer needs `base` once built
+    base.unpersist()
+    return out

@@ -765,3 +765,74 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("user_id").agg(
         F.sum("new_sess").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
     )
+
+
+# --------------------------------------------------------------------------
+# quantiles — exact percentile family (sort-based, both engines linear
+# interpolation); the missing OLAP aggregate family in the reference
+@register(
+    "brand_price_quantiles",
+    oracle="""
+    SELECT p_brand,
+           count(*) AS n,
+           cast(floor(quantile_cont(cast(floor(p_retailprice * 100 + 0.5) AS BIGINT),
+                                    0.5) + 0.5) AS BIGINT) AS median_cents,
+           cast(floor(quantile_cont(cast(floor(p_retailprice * 100 + 0.5) AS BIGINT),
+                                    0.9) + 0.5) AS BIGINT) AS p90_cents
+    FROM part GROUP BY p_brand
+    """,
+)
+def brand_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group, interpolated over
+    INTEGER cents: order statistics are then exact in double, so the
+    two engines' (algebraically equal, differently-associated)
+    interpolation formulas agree — interpolating raw cent-quantized
+    doubles would land exactly on half-cent midpoints where a 1-ulp
+    difference flips the rounding. (The approximate path at warehouse
+    scale is approx_percentile / t-digest; exact-sorted here for the
+    oracle.)"""
+    p = load_tables(spark, sf_dir)["part"].withColumn(
+        "price_c", _cents(F.col("p_retailprice"))
+    )
+
+    def cents_q(q):
+        return F.floor(F.expr(f"percentile(price_c, {q})") + F.lit(0.5)).cast("long")
+
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        cents_q(0.5).alias("median_cents"),
+        cents_q(0.9).alias("p90_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 — set aggregation with deterministic ordering
+@register(
+    "segments_per_nation",
+    oracle="""
+    SELECT n_name,
+           array_to_string(list_sort(list_distinct(list(c_mktsegment))), '|')
+             AS segments,
+           count(DISTINCT c_mktsegment) AS n_segments
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set aggregation (reference A4 distinct-pair collection,
+    combine_serp.py:73-79; cluster keyword union,
+    process_keywords.py:171-176). collect_set order is partitioning-
+    dependent → array_sort makes the result order-insensitive
+    (SURVEY §7.2(c) determinism rule applied to collections)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|").alias(
+                "segments"
+            ),
+            F.count_distinct("c_mktsegment").alias("n_segments"),
+        )
+    )

@@ -1,0 +1,71 @@
+"""Round-trip tests for the sources/sinks module (SURVEY §2.1)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from citation_graph_spark import sources
+
+
+def test_csv_roundtrip_sorted(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(3, "c"), (1, "a"), (2, "b")], "id int, name string"
+    )
+    out = str(tmp_path / "csv_out")
+    sources.write_sorted_csv(df, out, ["id"])
+    back = sources.read_csv(spark, out, "id int, name string")
+    assert [tuple(r) for r in back.collect()] == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.3, 0.4])], "uid int, vec array<double>"
+    )
+    out = str(tmp_path / "jsonl_out")
+    sources.write_jsonl(df, out, ["uid"])
+    back = sources.read_jsonl(spark, out, "uid int, vec array<double>")
+    rows = {r["uid"]: r["vec"] for r in back.collect()}
+    assert rows == {1: [0.1, 0.2], 2: [0.3, 0.4]}
+
+
+def test_json_dir_filename_is_key(spark, tmp_path):
+    d = tmp_path / "entities"
+    d.mkdir()
+    for key, val in [("alpha", 1), ("beta", 2)]:
+        (d / f"{key}.json").write_text(json.dumps({"v": val}))
+    df = sources.read_json_dir(spark, str(d), "v int")
+    rows = {r["entity_key"]: r["v"] for r in df.collect()}
+    assert rows == {"alpha": 1, "beta": 2}
+
+
+def test_binary_dir(spark, tmp_path):
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "x.bin").write_bytes(b"\x00\x01\x02")
+    df = sources.read_binary_dir(spark, str(d), "*.bin")
+    r = df.collect()[0]
+    assert r["length"] == 3 and bytes(r["content"]) == b"\x00\x01\x02"
+
+
+def test_upsert_partitioned_is_idempotent_merge(spark, tmp_path):
+    out = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 10)], "part string, v int"
+    )
+    base.write.partitionBy("part").parquet(out)
+    # upsert replaces only partition 'a'; 'b' untouched
+    up = spark.createDataFrame([("a", 99)], "part string, v int")
+    sources.upsert_partitioned(up, out, "part")
+    rows = sorted(
+        tuple(r) for r in spark.read.parquet(out).select("part", "v").collect()
+    )
+    assert rows == [("a", 99), ("b", 10)]
+    # re-running the same batch is a no-op (MERGE property)
+    sources.upsert_partitioned(up, out, "part")
+    rows2 = sorted(
+        tuple(r) for r in spark.read.parquet(out).select("part", "v").collect()
+    )
+    assert rows2 == rows

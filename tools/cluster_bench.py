@@ -39,6 +39,9 @@ sys.path.insert(0, REPO)
 # job at 100 TB lives in
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
 ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+# weak scaling: per-executor load held constant (N_DOCS at 1 worker,
+# 4*N_DOCS at 4 workers); strong scaling: same N_DOCS at both levels
+MODE = sys.argv[3] if len(sys.argv) > 3 else "both"
 
 HOST = "127.0.0.1"
 MASTER_PORT = 7077
@@ -91,7 +94,7 @@ def stop(proc):
             os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
 
 
-def materialize_corpus(path: str) -> None:
+def materialize_corpus(path: str, n_docs: int) -> None:
     from citation_graph_spark.fixtures.corpus import generate_documents
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -99,7 +102,7 @@ def materialize_corpus(path: str) -> None:
     # small row groups -> the scan splits across executors instead of
     # serializing on one reader task
     pq.write_table(
-        pa.Table.from_pandas(generate_documents(N_DOCS, seed=42)),
+        pa.Table.from_pandas(generate_documents(n_docs, seed=42)),
         path,
         row_group_size=25_000,
     )
@@ -142,9 +145,14 @@ def submit(zip_path: str, docs_path: str, n_workers: int) -> dict:
 def main() -> None:
     workdir = tempfile.mkdtemp(prefix="cgs-cluster-")
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
-    docs_path = os.path.join(workdir, "corpus.parquet")
+    corpus_n = os.path.join(workdir, "corpus_n.parquet")
     print(f"# materializing corpus n={N_DOCS}", file=sys.stderr)
-    materialize_corpus(docs_path)
+    materialize_corpus(corpus_n, N_DOCS)
+    corpus_4n = None
+    if MODE in ("weak", "both"):
+        corpus_4n = os.path.join(workdir, "corpus_4n.parquet")
+        print(f"# materializing corpus n={4 * N_DOCS} (weak-scaling leg)", file=sys.stderr)
+        materialize_corpus(corpus_4n, 4 * N_DOCS)
     zip_base = os.path.join(workdir, "cgs")
     shutil.make_archive(zip_base, "zip", REPO, "citation_graph_spark")
     zip_path = zip_base + ".zip"
@@ -155,7 +163,8 @@ def main() -> None:
          "--host", HOST, "--port", str(MASTER_PORT), "--webui-port", str(MASTER_UI)],
         log,
     )
-    results: dict[int, dict] = {}
+    strong: dict[int, dict] = {}
+    weak: dict[int, dict] = {}
     workers: list = []
     try:
         wait_for(f"http://{HOST}:{MASTER_UI}/json/", lambda d: d.get("status") == "ALIVE")
@@ -176,9 +185,16 @@ def main() -> None:
                 f"http://{HOST}:{MASTER_UI}/json/",
                 lambda d: len([w for w in d.get("workers", []) if w["state"] == "ALIVE"]) >= n,
             )
-            print(f"# {n} worker(s) ALIVE; submitting job", file=sys.stderr)
-            results[n] = submit(zip_path, docs_path, n)
-            print(f"#   {results[n]}", file=sys.stderr)
+            if MODE in ("strong", "both"):
+                print(f"# strong: {n} worker(s), n_docs={N_DOCS}", file=sys.stderr)
+                strong[n] = submit(zip_path, corpus_n, n)
+                print(f"#   {strong[n]}", file=sys.stderr)
+            if MODE in ("weak", "both"):
+                docs_path = corpus_n if n == LEVELS[0] else corpus_4n
+                scale = 1 if n == LEVELS[0] else 4
+                print(f"# weak: {n} worker(s), n_docs={scale * N_DOCS}", file=sys.stderr)
+                weak[n] = submit(zip_path, docs_path, n)
+                print(f"#   {weak[n]}", file=sys.stderr)
     finally:
         for w in workers:
             stop(w)
@@ -186,21 +202,33 @@ def main() -> None:
         log.close()
 
     n, n4 = LEVELS
-    speedup = {
-        k: results[n][k] / results[n4][k]
-        for k in ("total_s", "pagerank_s", "extract_s")
-    }
-    eff = {k: round(v / (n4 / n), 4) for k, v in speedup.items()}
     summary = {
         "job": "extraction + pagerank (standalone cluster, separate executor JVMs)",
         "n_docs": N_DOCS,
         "iterations": ITERS,
         "cores_per_executor": CORES_PER_EXEC,
         "executor_memory": EXEC_MEM,
-        "levels": {str(k): v for k, v in results.items()},
-        "speedup": {k: round(v, 3) for k, v in speedup.items()},
-        "scaling_efficiency": eff,
     }
+    if strong:
+        sp = {k: strong[n][k] / strong[n4][k]
+              for k in ("total_s", "pagerank_s", "extract_s")}
+        summary["strong"] = {
+            "description": "same input at N and 4N executors; "
+                           "efficiency = speedup / 4",
+            "levels": {str(k): v for k, v in strong.items()},
+            "speedup": {k: round(v, 3) for k, v in sp.items()},
+            "scaling_efficiency": {k: round(v / (n4 / n), 4) for k, v in sp.items()},
+        }
+    if weak:
+        eff = {k: round(weak[n][k] / weak[n4][k], 4)
+               for k in ("total_s", "pagerank_s", "extract_s")}
+        summary["weak"] = {
+            "description": "per-executor load held constant (4x data at 4N); "
+                           "efficiency = T_N / T_4N = aggregate-throughput "
+                           "ratio over the ideal 4x",
+            "levels": {str(k): v for k, v in weak.items()},
+            "scaling_efficiency": eff,
+        }
     os.makedirs(os.path.join(REPO, "bench_out"), exist_ok=True)
     with open(os.path.join(REPO, "bench_out", "cluster_scaling.json"), "w") as f:
         json.dump(summary, f, indent=2)
