@@ -350,3 +350,31 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register("embedding_kmeans")  # rows-only: MLlib's k-means has no SQL oracle
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means over the embedding column (reference capability parity:
+    clustering/kmeans.py:38-44 fits sklearn KMeans on the full
+    embedding matrix in memory; here MLlib's distributed Lloyd's with a
+    fixed seed). The north rule's in-engine community structure is
+    label propagation (graph/communities.py); this covers the
+    reference's embedding-space clustering surface. Deterministic under
+    a fixed seed (tests/test_kmeans.py asserts run-to-run equality);
+    exactness vs a single-node oracle is not defined for k-means
+    (initialization differs per implementation), so this is a
+    rows-only entry."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    feat = e.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    km = KMeans(k=10, seed=42, maxIter=20, initMode="k-means||")
+    model = km.fit(feat)
+    return (
+        model.transform(feat)
+        .select("vec_id", F.col("prediction").cast("long").alias("cluster"))
+    )

@@ -75,7 +75,9 @@ def test_oracle_parity(spark, duck, name):
 
 
 def test_rows_only_queries_have_kernel_oracles():
-    """Queries without SQL oracles must be the corpus kernel runs —
-    each covered by an exact pytest oracle in test_graph_kernels.py."""
+    """Queries without SQL oracles must be the corpus kernel runs
+    (exact pytest oracles in test_graph_kernels.py) or k-means (no
+    cross-implementation oracle exists; determinism in test_kmeans)."""
     rows_only = set(operators.QUERIES) - set(operators.ORACLES)
-    assert all(n.startswith("corpus_") for n in rows_only), rows_only
+    allowed = {"embedding_kmeans"}
+    assert all(n.startswith("corpus_") or n in allowed for n in rows_only), rows_only
