@@ -65,8 +65,17 @@ def module_key_col(path_col):
     return F.regexp_replace(path_col, r"\.[A-Za-z0-9]+$", "")
 
 
-def build_edges(docs: DataFrame, vertices: DataFrame) -> DataFrame:
+def build_edges(
+    docs: DataFrame,
+    vertices: DataFrame,
+    broadcast_threshold: int = 5_000_000,
+) -> DataFrame:
     """Resolve extracted references against the vertex table.
+
+    ``broadcast_threshold``: vertex tables at or below this row count
+    broadcast to the resolution joins (the reference-heavy side never
+    shuffles). Above it — the 10^12-file regime — both sides shuffle
+    on the join key as usual; pass 0 to force that path.
 
     Returns ``(src: long, dst: long, weight: double)`` where weight is
     the reference multiplicity. Dangling references (no matching module
@@ -82,6 +91,11 @@ def build_edges(docs: DataFrame, vertices: DataFrame) -> DataFrame:
     )
     src_side = v.select(F.col("vid").alias("src"), F.col("path").alias("src_path"))
     dst_side = v.select(F.col("vid").alias("dst"), F.col("module_key").alias("ref_key"))
+    if broadcast_threshold and vertices.count() <= broadcast_threshold:
+        # the refs stream (10-100x the vertex table) stays put; the two
+        # resolution joins become map-side — extraction is then fully
+        # shuffle-free up to the final edge-multiplicity aggregation
+        src_side, dst_side = F.broadcast(src_side), F.broadcast(dst_side)
     edges = (
         refs.join(src_side, "src_path")
         .join(dst_side, "ref_key")
