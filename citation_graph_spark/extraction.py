@@ -68,14 +68,16 @@ def module_key_col(path_col):
 def build_edges(
     docs: DataFrame,
     vertices: DataFrame,
-    broadcast_threshold: int = 5_000_000,
+    broadcast_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Resolve extracted references against the vertex table.
 
     ``broadcast_threshold``: vertex tables at or below this row count
     broadcast to the resolution joins (the reference-heavy side never
-    shuffles). Above it — the 10^12-file regime — both sides shuffle
-    on the join key as usual; pass 0 to force that path.
+    shuffles). 1M rows of (vid, path/module_key strings) is ~100 MB
+    serialized — about the practical per-executor ceiling; above it —
+    the 10^12-file regime — both sides shuffle on the join key as
+    usual; pass 0 to force that path.
 
     Returns ``(src: long, dst: long, weight: double)`` where weight is
     the reference multiplicity. Dangling references (no matching module

@@ -64,10 +64,17 @@ def last_name(col: Column) -> Column:
 def char_bigrams(col: Column) -> Column:
     """Distinct character 2-grams — the similarity alphabet for the
     blocked fuzzy join (J7; stands in for rapidfuzz ratio,
-    combine_serp.py:108-113, as portable column algebra)."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.length(col) - 1),
-            lambda i: col.substr(i, F.lit(2)),
-        )
-    )
+    combine_serp.py:108-113, as portable column algebra).
+
+    Guarded for length <= 1: Spark's sequence(1, 0) produces a
+    DESCENDING [1, 0] (bogus grams) where DuckDB's generate_series(1, 0)
+    is empty — short strings must yield [] on both engines."""
+    return F.when(
+        F.length(col) >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(col) - 1),
+                lambda i: col.substr(i, F.lit(2)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -41,11 +41,18 @@ def connected_components(
     checkpoint_interval: int = 5,
     resume: bool = False,
     metrics_path: str | None = None,
-    star_contraction: bool = False,
+    star_contraction: bool | None = None,
+    star_threshold: int = 10_000_000,
 ) -> DataFrame:
     """Returns ``(vid: long, component: long)``; component = min vid in
     the component (deterministic, order-insensitive reducer — min —
-    per SURVEY.md §7.2(c))."""
+    per SURVEY.md §7.2(c)).
+
+    ``star_contraction=None`` (default) auto-enables the O(log² n)-round
+    large/small-star variant when the undirected edge count exceeds
+    ``star_threshold`` — min-label's O(diameter) rounds are the safe
+    small-graph default, but at web scale a high-diameter graph would
+    crawl. ``True``/``False`` force the choice."""
     if star_contraction:
         return _star_components(edges, vertices, max_iter, metrics_path)
 
@@ -55,6 +62,9 @@ def connected_components(
 
     und0 = undirect(edges).persist()
     n_und = und0.count()
+    if star_contraction is None and n_und > star_threshold:
+        und0.unpersist()
+        return _star_components(edges, vertices, max_iter, metrics_path)
     if num_partitions is None:
         num_partitions = auto_partitions(spark, n_und)
     und = und0.repartition(num_partitions, "src").persist()
@@ -155,7 +165,6 @@ def _star_components(
         nbrs2 = large.unionByName(
             large.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).filter(F.col("u") > F.col("v"))
-        nbrs2 = nbrs2.unionByName(nbrs2.select("u", "v"))  # keep orientation
         with_min2 = nbrs2.join(
             nbrs2.groupBy("u").agg(F.min("v").alias("m")), "u"
         )

@@ -20,7 +20,7 @@ from citation_graph_spark.tables import load_tables
     oracle="""
     SELECT event_type,
            count(*)                                  AS n,
-           sum(json_extract(props, '$.k')::BIGINT)   AS sum_k,
+           cast(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
            max(json_extract(props, '$.k')::BIGINT)   AS max_k
     FROM events GROUP BY event_type
     """,

@@ -72,17 +72,27 @@ def fake_feature_extract(media: DataFrame) -> DataFrame:
     view)."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             if pdf.empty:
                 continue
-            feats = pdf["payload"].map(
-                lambda b: (len(b), float(sum(b)) / max(len(b), 1))
-            )
+            # one concatenated uint8 view over the whole Arrow batch:
+            # per-payload reductions via np.add.reduceat on offsets —
+            # no per-row Python beyond building the buffer view
+            lens = pdf["payload"].str.len().to_numpy(dtype=np.int64)
+            buf = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8)
+            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            sums = np.zeros(len(lens), dtype=np.float64)
+            nonempty = lens > 0
+            if buf.size:
+                red = np.add.reduceat(buf.astype(np.int64), offsets[nonempty])
+                sums[nonempty] = red
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": feats.map(lambda t: t[0]),
-                    "mean_byte": feats.map(lambda t: t[1]),
+                    "n_bytes": lens,
+                    "mean_byte": sums / np.maximum(lens, 1),
                 }
             )
             yield out

@@ -747,7 +747,7 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
-    SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+    SELECT user_id, cast(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
     FROM flagged GROUP BY user_id
     """,
 )

@@ -44,10 +44,13 @@ def windowed_event_stats(
 ) -> DataFrame:
     """Watermarked tumbling-window aggregate per event type.
 
-    Late rows beyond ``watermark`` are dropped deterministically;
-    everything else lands in its event-time window regardless of
-    arrival order — the streaming analog of the batch
-    ``orders_by_month`` rollup (operators/relational.py).
+    The drop-late-rows / evict-state semantics of the watermark only
+    take effect in *append* output mode (``stream_event_counts_append``);
+    ``stream_event_counts`` runs complete mode, where Spark keeps all
+    window state and late rows still land — the trade-off is append
+    only emits a window once the watermark passes its end. Both are the
+    streaming analog of the batch ``orders_by_month`` rollup
+    (operators/relational.py).
 
     Watermarks require zoned TIMESTAMP; the NTZ source column is cast
     in-session (UTC in tests), identically on the batch comparator."""
@@ -91,3 +94,32 @@ def stream_event_counts(
     )
     q.awaitTermination()
     return spark.table("event_stats")
+
+
+def stream_event_counts_append(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Append-mode variant: the production posture for an unbounded
+    feed. The watermark genuinely drops late rows and evicts window
+    state (bounded memory); a window is emitted exactly once, when the
+    watermark passes its end — so windows later than
+    ``max(ts) - watermark`` are still open at end-of-input and absent
+    from the result (tests compare against the batch rollup restricted
+    to closed windows)."""
+    stats = windowed_event_stats(
+        read_event_stream(spark, source_dir), window, watermark
+    )
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("event_stats_append")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("event_stats_append")

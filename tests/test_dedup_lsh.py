@@ -1,0 +1,68 @@
+"""Bucketed-dedup guarantees: the scale-path rungs vs their brute-force
+baselines.
+
+- dedup_embedding_ivf candidates are verified with the exact cosine, so
+  every emitted pair must also appear in the all-pairs baseline
+  (subset), and measured recall is reported/bounded.
+- dedup_simhash_pairs is *exact* by the pigeonhole argument (Hamming
+  radius 3 < 4 bands): the banded result must equal the un-banded
+  brute-force Hamming-ball join, not just approximate it.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from citation_graph_spark import operators
+from citation_graph_spark.operators.dedup import (
+    _HAMMING_K,
+    _simhash_ctes,
+)
+from citation_graph_spark.tables import TABLE_NAMES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+operators.load_all()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def test_embedding_ivf_subset_and_recall(spark):
+    ivf = {
+        (r["v1"], r["v2"])
+        for r in operators.QUERIES["dedup_embedding_ivf"](spark, SF_DIR).collect()
+    }
+    full = {
+        (r["v1"], r["v2"])
+        for r in operators.QUERIES["dedup_embedding_cosine"](spark, SF_DIR).collect()
+    }
+    assert ivf <= full, "IVF-verified pairs must be a subset of all-pairs"
+    assert full, "baseline found no near-dup pairs — fixture drifted"
+    recall = len(ivf) / len(full)
+    # measured ~0.59 at nprobe=2 on this corpus's adversarially-spread
+    # 0.25-cosine band; the floor is a regression tripwire
+    assert recall >= 0.5, f"IVF recall collapsed: {recall:.3f}"
+
+
+def test_simhash_pairs_banding_is_lossless(duck, spark):
+    brute = duck.sql(
+        f"""
+        WITH {_simhash_ctes()}
+        SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_K}
+        """
+    ).fetchall()
+    banded = {
+        (r["d1"], r["d2"])
+        for r in operators.QUERIES["dedup_simhash_pairs"](spark, SF_DIR).collect()
+    }
+    assert banded == set(brute)
