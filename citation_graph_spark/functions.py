@@ -26,11 +26,34 @@ def generate_uid(col: Column) -> Column:
 
 def lenient_date(col: Column) -> Column:
     """F3 — reference utils.py:109-137: bare 4-digit year → Jan 1 of
-    that year; else standard parse; unparseable → null."""
-    return F.when(
-        col.rlike(r"^\d{4}$"),
-        F.make_date(col.cast("int"), F.lit(1), F.lit(1)),
-    ).otherwise(F.try_to_date(col))  # try_: unparseable → null, not ANSI error
+    that year; else standard parse; unparseable → null. Out-of-range
+    days are repaired by clamping to the month's last day (reference
+    orcid.py:98-103 calendar.monthrange), e.g. 2021-02-30 → 2021-02-28;
+    invalid months/zero days still null out."""
+    full = r"^(\d{4})-(\d{1,2})-(\d{1,2})$"
+    y = F.regexp_extract(col, full, 1).cast("int")
+    m = F.regexp_extract(col, full, 2).cast("int")
+    d = F.regexp_extract(col, full, 3).cast("int")
+    # month length in pure column algebra (null for invalid months, so
+    # make_date below only ever sees valid parts — ANSI-safe)
+    leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+    month_end = (
+        F.when(m == 2, F.lit(28) + leap.cast("int"))
+        .when(m.isin(1, 3, 5, 7, 8, 10, 12), 31)
+        .when(m.isin(4, 6, 9, 11), 30)
+    )
+    repaired = F.when(
+        month_end.isNotNull() & (d >= 1),
+        F.make_date(y, m, F.least(d, month_end)),
+    )
+    return (
+        F.when(
+            col.rlike(r"^\d{4}$"),
+            F.make_date(col.cast("int"), F.lit(1), F.lit(1)),
+        )
+        .when(col.rlike(r"^\d{4}-\d{1,2}-\d{1,2}$"), repaired)
+        .otherwise(F.try_to_date(col))  # try_: unparseable → null, not ANSI error
+    )
 
 
 def strip_quotes(col: Column) -> Column:

@@ -45,10 +45,12 @@ def load_all() -> None:
     from citation_graph_spark.operators import (  # noqa: F401
         clustering,
         dedup,
+        dimred,
         functions_lib,
         graphq,
         multimodal,
         relational,
         similarity,
         textops,
+        topics,
     )

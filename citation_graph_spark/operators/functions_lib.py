@@ -39,6 +39,52 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# F12 — MapType column end-to-end: parse → map → explode → aggregate
+@register(
+    "event_props_exploded",
+    oracle="""
+    WITH kv AS (
+      SELECT event_type, props, unnest(json_keys(props)) AS prop_key
+      FROM events
+    ),
+    vals AS (
+      SELECT event_type, prop_key,
+             json_extract_string(props, '$.' || prop_key) AS val
+      FROM kv
+    ),
+    pairs AS (
+      SELECT event_type, prop_key, val FROM vals
+      UNION ALL
+      SELECT event_type, 'etype' AS prop_key, event_type AS val FROM events
+    )
+    SELECT event_type, prop_key,
+           count(*) AS n,
+           count(DISTINCT val) AS n_vals,
+           cast(sum(try_cast(val AS BIGINT)) AS BIGINT) AS sum_val
+    FROM pairs GROUP BY event_type, prop_key
+    """,
+)
+def event_props_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real ``MapType`` traffic (reference F12: ``clusters`` /
+    ``*_clusters`` map fields, schemas.py:86,127-130, exploded to rows
+    at neo4j/loader.py:219-237): JSON props parsed to
+    ``map<string,string>``, concatenated with a constructed map,
+    ``explode``d to (key, value) rows and aggregated. The non-numeric
+    value sums null out via try_cast on both engines."""
+    e = load_tables(spark, sf_dir)["events"]
+    m = F.map_concat(
+        F.from_json("props", "map<string,string>"),
+        F.create_map(F.lit("etype"), F.col("event_type")),
+    )
+    kv = e.select("event_type", F.explode(m).alias("prop_key", "val"))
+    return kv.groupBy("event_type", "prop_key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("val").alias("n_vals"),
+        F.sum(F.expr("try_cast(val AS LONG)")).alias("sum_val"),
+    )
+
+
+# --------------------------------------------------------------------------
 # F10 — array element extraction (the reference's [x, y] → columns)
 @register(
     "embedding_xy",

@@ -37,6 +37,24 @@ def test_lenient_date(spark):
     assert _one(spark, cgf.lenient_date(F.col("s")), "not a date") is None
 
 
+def test_lenient_date_day_repair(spark):
+    # reference orcid.py:98-103: out-of-range day clamps to month end
+    assert str(_one(spark, cgf.lenient_date(F.col("s")), "2021-02-30")) == "2021-02-28"
+    assert str(_one(spark, cgf.lenient_date(F.col("s")), "2020-02-30")) == "2020-02-29"
+    assert str(_one(spark, cgf.lenient_date(F.col("s")), "2021-04-31")) == "2021-04-30"
+    assert str(_one(spark, cgf.lenient_date(F.col("s")), "2021-2-5")) == "2021-02-05"
+    # invalid month / zero day are NOT repairable
+    assert _one(spark, cgf.lenient_date(F.col("s")), "2021-13-01") is None
+    assert _one(spark, cgf.lenient_date(F.col("s")), "2021-02-00") is None
+
+
+def test_char_bigrams_short_strings(spark):
+    # Spark sequence(1,0) descends; the guard must yield [] like DuckDB
+    assert _one(spark, cgf.char_bigrams(F.col("s")), "a") == []
+    assert _one(spark, cgf.char_bigrams(F.col("s")), "") == []
+    assert _one(spark, cgf.char_bigrams(F.col("s")), "ab") == ["ab"]
+
+
 def test_strip_quotes(spark):
     assert _one(spark, cgf.strip_quotes(F.col("s")), "\"it's\" quoted") == "its quoted"
 

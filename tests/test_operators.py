@@ -76,8 +76,11 @@ def test_oracle_parity(spark, duck, name):
 
 def test_rows_only_queries_have_kernel_oracles():
     """Queries without SQL oracles must be the corpus kernel runs
-    (exact pytest oracles in test_graph_kernels.py) or k-means (no
-    cross-implementation oracle exists; determinism in test_kmeans)."""
+    (exact pytest oracles in test_graph_kernels.py), k-means (no
+    cross-implementation oracle exists; determinism in test_kmeans,
+    metric-checked in test_clustering_metrics), pca_xy (numpy
+    pipeline-replay oracle in test_dimred), or LDA topics (determinism
+    + invariants in test_topics)."""
     rows_only = set(operators.QUERIES) - set(operators.ORACLES)
-    allowed = {"embedding_kmeans"}
+    allowed = {"embedding_kmeans", "pca_xy", "doc_topics_lda"}
     assert all(n.startswith("corpus_") or n in allowed for n in rows_only), rows_only

@@ -15,7 +15,14 @@ one shared resource the sandbox cannot split is DRAM bandwidth —
 reported numbers therefore UNDERSTATE what 4 physically separate hosts
 would do.
 
-Usage: python tools/cluster_bench.py [n_docs] [iters]
+Protocol (round-2 hardening, VERDICT r1 item 6): legs are INTERLEAVED
+(1, 4, 1, 4, ...) with a fresh set of worker JVMs launched and torn
+down for every leg, repeated ``repeats`` times, and EVERY leg is
+reported — no favorable-pair selection. Interleaving distributes
+turbo/thermal/page-cache drift symmetrically across both levels
+instead of letting it accumulate into one.
+
+Usage: python tools/cluster_bench.py [n_docs] [iters] [mode] [repeats]
 Writes bench_out/cluster_scaling.json.
 """
 
@@ -42,6 +49,7 @@ ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 # weak scaling: per-executor load held constant (N_DOCS at 1 worker,
 # 4*N_DOCS at 4 workers); strong scaling: same N_DOCS at both levels
 MODE = sys.argv[3] if len(sys.argv) > 3 else "both"
+REPEATS = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 
 HOST = "127.0.0.1"
 MASTER_PORT = 7077
@@ -142,6 +150,40 @@ def submit(zip_path: str, docs_path: str, n_workers: int) -> dict:
     raise RuntimeError(f"no JSON in output:\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}")
 
 
+_LEG_SEQ = [0]  # distinct worker ports per leg (avoid TIME_WAIT reuse)
+
+
+def run_leg(zip_path: str, docs_path: str, n_workers: int, log) -> dict:
+    """Launch a FRESH set of worker JVMs, run the job, tear them down."""
+    leg = _LEG_SEQ[0] = _LEG_SEQ[0] + 1
+    workers = [
+        launch(
+            [SPARK_CLASS, "org.apache.spark.deploy.worker.Worker",
+             "--host", HOST, "--port", str(9100 + 8 * (leg % 100) + i),
+             "--webui-port", str(8180 + 8 * (leg % 100) + i),
+             "--cores", str(CORES_PER_EXEC), "--memory", "14g",
+             f"spark://{HOST}:{MASTER_PORT}"],
+            log,
+        )
+        for i in range(n_workers)
+    ]
+    try:
+        wait_for(
+            f"http://{HOST}:{MASTER_UI}/json/",
+            lambda d: len([w for w in d.get("workers", []) if w["state"] == "ALIVE"])
+            >= n_workers,
+        )
+        return submit(zip_path, docs_path, n_workers)
+    finally:
+        for w in workers:
+            stop(w)
+        wait_for(
+            f"http://{HOST}:{MASTER_UI}/json/",
+            lambda d: not [w for w in d.get("workers", []) if w["state"] == "ALIVE"],
+            timeout_s=90,
+        )
+
+
 def main() -> None:
     workdir = tempfile.mkdtemp(prefix="cgs-cluster-")
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
@@ -163,72 +205,68 @@ def main() -> None:
          "--host", HOST, "--port", str(MASTER_PORT), "--webui-port", str(MASTER_UI)],
         log,
     )
-    strong: dict[int, dict] = {}
-    weak: dict[int, dict] = {}
-    workers: list = []
+    n, n4 = LEVELS
+    runs: list[dict] = []
     try:
         wait_for(f"http://{HOST}:{MASTER_UI}/json/", lambda d: d.get("status") == "ALIVE")
-        for n in LEVELS:
-            while len(workers) < n:
-                i = len(workers)
-                workers.append(
-                    launch(
-                        [SPARK_CLASS, "org.apache.spark.deploy.worker.Worker",
-                         "--host", HOST, "--port", str(9100 + i),
-                         "--webui-port", str(8180 + i),
-                         "--cores", str(CORES_PER_EXEC), "--memory", "14g",
-                         f"spark://{HOST}:{MASTER_PORT}"],
-                        log,
-                    )
-                )
-            wait_for(
-                f"http://{HOST}:{MASTER_UI}/json/",
-                lambda d: len([w for w in d.get("workers", []) if w["state"] == "ALIVE"]) >= n,
-            )
+        for rep in range(REPEATS):
+            rec: dict = {"run": rep + 1}
+            # interleaved: 1-worker leg immediately followed by 4-worker
+            # leg, fresh worker JVMs for each — symmetric warmth
             if MODE in ("strong", "both"):
-                print(f"# strong: {n} worker(s), n_docs={N_DOCS}", file=sys.stderr)
-                strong[n] = submit(zip_path, corpus_n, n)
-                print(f"#   {strong[n]}", file=sys.stderr)
+                s1 = run_leg(zip_path, corpus_n, n, log)
+                s4 = run_leg(zip_path, corpus_n, n4, log)
+                rec["strong"] = {
+                    "levels": {str(n): s1, str(n4): s4},
+                    "scaling_efficiency": {
+                        k: round(s1[k] / s4[k] / (n4 / n), 4)
+                        for k in ("total_s", "pagerank_s", "extract_s")
+                    },
+                }
+                print(f"# run {rep + 1} strong: {rec['strong']['scaling_efficiency']}",
+                      file=sys.stderr)
             if MODE in ("weak", "both"):
-                docs_path = corpus_n if n == LEVELS[0] else corpus_4n
-                scale = 1 if n == LEVELS[0] else 4
-                print(f"# weak: {n} worker(s), n_docs={scale * N_DOCS}", file=sys.stderr)
-                weak[n] = submit(zip_path, docs_path, n)
-                print(f"#   {weak[n]}", file=sys.stderr)
+                w1 = run_leg(zip_path, corpus_n, n, log)
+                w4 = run_leg(zip_path, corpus_4n, n4, log)
+                rec["weak"] = {
+                    "levels": {str(n): w1, str(n4): w4},
+                    "scaling_efficiency": {
+                        k: round(w1[k] / w4[k], 4)
+                        for k in ("total_s", "pagerank_s", "extract_s")
+                    },
+                }
+                print(f"# run {rep + 1} weak: {rec['weak']['scaling_efficiency']}",
+                      file=sys.stderr)
+            runs.append(rec)
     finally:
-        for w in workers:
-            stop(w)
         stop(master)
         log.close()
 
-    n, n4 = LEVELS
+    def median_eff(mode: str) -> dict | None:
+        vals = [r[mode]["scaling_efficiency"] for r in runs if mode in r]
+        if not vals:
+            return None
+        out = {}
+        for k in ("total_s", "pagerank_s", "extract_s"):
+            xs = sorted(v[k] for v in vals)
+            out[k] = xs[len(xs) // 2] if len(xs) % 2 else round(
+                (xs[len(xs) // 2 - 1] + xs[len(xs) // 2]) / 2, 4
+            )
+        return out
+
     summary = {
         "job": "extraction + pagerank (standalone cluster, separate executor JVMs)",
+        "protocol": "interleaved legs, fresh worker JVMs per leg, all runs reported",
         "n_docs": N_DOCS,
         "iterations": ITERS,
         "cores_per_executor": CORES_PER_EXEC,
         "executor_memory": EXEC_MEM,
+        "repeats": REPEATS,
+        "runs": runs,
+        "median_scaling_efficiency": {
+            m: median_eff(m) for m in ("strong", "weak") if median_eff(m)
+        },
     }
-    if strong:
-        sp = {k: strong[n][k] / strong[n4][k]
-              for k in ("total_s", "pagerank_s", "extract_s")}
-        summary["strong"] = {
-            "description": "same input at N and 4N executors; "
-                           "efficiency = speedup / 4",
-            "levels": {str(k): v for k, v in strong.items()},
-            "speedup": {k: round(v, 3) for k, v in sp.items()},
-            "scaling_efficiency": {k: round(v / (n4 / n), 4) for k, v in sp.items()},
-        }
-    if weak:
-        eff = {k: round(weak[n][k] / weak[n4][k], 4)
-               for k in ("total_s", "pagerank_s", "extract_s")}
-        summary["weak"] = {
-            "description": "per-executor load held constant (4x data at 4N); "
-                           "efficiency = T_N / T_4N = aggregate-throughput "
-                           "ratio over the ideal 4x",
-            "levels": {str(k): v for k, v in weak.items()},
-            "scaling_efficiency": eff,
-        }
     os.makedirs(os.path.join(REPO, "bench_out"), exist_ok=True)
     with open(os.path.join(REPO, "bench_out", "cluster_scaling.json"), "w") as f:
         json.dump(summary, f, indent=2)
