@@ -45,6 +45,38 @@ def test_windowed_stats_match_batch(spark, stream_dirs):
     assert streamed.count() > 0
 
 
+def test_append_mode_emits_exactly_closed_windows(spark, stream_dirs):
+    """Append mode = the production posture: the watermark evicts state
+    and a window is emitted exactly once, when the watermark passes its
+    end. Result must equal the batch rollup restricted to windows
+    closed at end-of-input (window_end <= max(ts) - watermark)."""
+    from citation_graph_spark.streaming.events import stream_event_counts_append
+
+    src_dir, ckpt_dir = stream_dirs
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    target = os.path.join(src_dir, "stream")
+    for part in (0, 1, 2):
+        events.filter(F.col("event_id") % 3 == part).write.mode("append").parquet(
+            target
+        )
+
+    streamed = stream_event_counts_append(
+        spark, target, ckpt_dir, window="1 hour", watermark="2 hours"
+    )
+    cutoff = events.agg(
+        (F.max(F.col("ts").cast("timestamp")) - F.expr("INTERVAL 2 HOURS")).alias("c")
+    ).collect()[0]["c"]
+    batch = [
+        tuple(r)
+        for r in windowed_event_stats(events, "1 hour", "2 hours")
+        .filter(F.col("window_start") + F.expr("INTERVAL 1 HOUR") <= F.lit(cutoff))
+        .collect()
+    ]
+    got = sorted(map(tuple, streamed.collect()))
+    assert got == sorted(batch)
+    assert 0 < len(got) < events.count()
+
+
 def test_stateful_sessionizer_matches_batch(spark, stream_dirs):
     """applyInPandasWithState carry across micro-batches == batch
     window-algebra sessionization, when chunks arrive in event-time
