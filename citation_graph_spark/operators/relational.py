@@ -683,6 +683,34 @@ def docs_mentioning_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# P5 — negated-substring filter (multi-pattern exclusion)
+@register(
+    "docs_without_boilerplate",
+    oracle="""
+    SELECT lang, count(*) AS n_docs FROM documents
+    WHERE NOT regexp_matches(lower(coalesce(text, '')),
+                             'checkpoint|broadcast|salt')
+    GROUP BY lang
+    """,
+)
+def docs_without_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negated multi-pattern substring filter (reference P5: drop rows
+    whose affiliation text contains any of 6 'unknown/not available'
+    markers, extract_affiliations_from_papers.py:128-134) — a single
+    negated rlike, pushed into the scan's data filters."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        d.filter(
+            ~F.lower(F.coalesce(F.col("text"), F.lit(""))).rlike(
+                "checkpoint|broadcast|salt"
+            )
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
 # top-k join query — revenue leaderboard (J6 + A1 + O4)
 @register(
     "top_revenue_customers",
