@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from citation_graph_spark.graph.degrees import auto_partitions, undirect
 from citation_graph_spark.metrics import MetricsLogger
+from citation_graph_spark.session import iterative_kernel_conf
 
 
 def label_propagation(
@@ -40,6 +41,19 @@ def label_propagation(
 ) -> DataFrame:
     """Returns ``(vid: long, label: long)`` after ``max_iter`` synchronous
     rounds (or earlier fixpoint)."""
+    with iterative_kernel_conf(edges.sparkSession):
+        return _label_propagation(
+            edges, vertices, max_iter, num_partitions, metrics_path
+        )
+
+
+def _label_propagation(
+    edges: DataFrame,
+    vertices: DataFrame | None,
+    max_iter: int,
+    num_partitions: int | None,
+    metrics_path: str | None,
+) -> DataFrame:
     spark = edges.sparkSession
     metrics = MetricsLogger(metrics_path, "label_propagation")
 
@@ -79,7 +93,9 @@ def label_propagation(
                 F.coalesce("new_label", labels["label"]).alias("label"),
                 labels["label"].alias("_prev"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the convergence count below materializes the
+            # checkpoint — one Spark job per round, not two
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("label") != F.col("_prev")).count()
         labels = new_labels.drop("_prev")

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from citation_graph_spark.checkpointing import CheckpointManager
 from citation_graph_spark.graph.degrees import auto_partitions, undirect
 from citation_graph_spark.metrics import MetricsLogger
+from citation_graph_spark.session import iterative_kernel_conf
 
 
 def connected_components(
@@ -53,6 +54,26 @@ def connected_components(
     ``star_threshold`` — min-label's O(diameter) rounds are the safe
     small-graph default, but at web scale a high-diameter graph would
     crawl. ``True``/``False`` force the choice."""
+    with iterative_kernel_conf(edges.sparkSession):
+        return _connected_components(
+            edges, vertices, max_iter, num_partitions, checkpoint_dir,
+            checkpoint_interval, resume, metrics_path, star_contraction,
+            star_threshold,
+        )
+
+
+def _connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None,
+    max_iter: int,
+    num_partitions: int | None,
+    checkpoint_dir: str | None,
+    checkpoint_interval: int,
+    resume: bool,
+    metrics_path: str | None,
+    star_contraction: bool | None,
+    star_threshold: int,
+) -> DataFrame:
     if star_contraction:
         return _star_components(edges, vertices, max_iter, metrics_path)
 
@@ -105,7 +126,9 @@ def connected_components(
                 ).alias("label"),
                 labels["label"].alias("_prev"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the convergence count below materializes the
+            # checkpoint — one Spark job per round, not two
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("label") != F.col("_prev")).count()
         labels = new_labels.drop("_prev")
@@ -173,7 +196,8 @@ def _star_components(
             .unionByName(with_min2.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the star-forest check below materializes it
+            .localCheckpoint(eager=False)
         )
         # converged when small-star output is stable star forest:
         # every u appears with exactly one v and v is a root (not a u)

