@@ -349,6 +349,39 @@ def cluster_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return davies_bouldin(q, seed_assign(q))
 
 
+@register("kmeans_model_selection")  # rows-only: k-means fits have no SQL
+# oracle; the scoring metrics themselves are oracle-checked separately and
+# numpy-verified per assignment in tests/test_clustering_metrics.py
+def kmeans_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model selection over k (reference workflow parity:
+    scripts/optimize_clustering.py:65 runs 50 Optuna trials scoring
+    each clustering with the same three metrics; here a deterministic
+    sweep k ∈ {4,6,8,10,12} scored by distributed Calinski-Harabasz —
+    higher is better). The driver loop is over HYPERPARAMETERS (5
+    fits), never over data; each fit and each scoring is a distributed
+    job. Returns (k, ch_milli, is_best) sorted by k."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    feat = e.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    ).persist()
+    q = quantized_vectors(spark, sf_dir).select("vec_id", "qv").persist()
+    rows = []
+    for k in (4, 6, 8, 10, 12):
+        model = KMeans(k=k, seed=42, maxIter=20, initMode="k-means||").fit(feat)
+        assign = model.transform(feat).select(
+            "vec_id", F.col("prediction").cast("long").alias("cluster")
+        )
+        ch = calinski_harabasz(q, assign).collect()[0]["ch_milli"]
+        rows.append((k, int(ch)))
+    best_k = max(rows, key=lambda r: (r[1], -r[0]))[0]
+    out = spark.createDataFrame(rows, "k long, ch_milli long")
+    return out.withColumn("is_best", F.col("k") == F.lit(best_k)).orderBy("k")
+
+
 @register(
     "cluster_silhouette",
     oracle=f"""

@@ -134,6 +134,16 @@ def test_metrics_on_seed_assignment(spark, emb):
     )
 
 
+def test_kmeans_model_selection_sweep(spark):
+    rows = operators.QUERIES["kmeans_model_selection"](spark, SF_DIR).collect()
+    ks = [r["k"] for r in rows]
+    assert ks == [4, 6, 8, 10, 12]
+    assert all(r["ch_milli"] > 0 for r in rows)
+    best = [r for r in rows if r["is_best"]]
+    assert len(best) == 1
+    assert best[0]["ch_milli"] == max(r["ch_milli"] for r in rows)
+
+
 def test_metrics_on_kmeans_assignment(spark, emb):
     """MLlib k-means output scored by the same distributed metrics and
     verified against numpy on the SAME assignment — the clustering run

@@ -82,5 +82,11 @@ def test_rows_only_queries_have_kernel_oracles():
     pipeline-replay oracle in test_dimred), or LDA topics (determinism
     + invariants in test_topics)."""
     rows_only = set(operators.QUERIES) - set(operators.ORACLES)
-    allowed = {"embedding_kmeans", "pca_xy", "doc_topics_lda"}
+    allowed = {
+        "embedding_kmeans",
+        "pca_xy",
+        "doc_topics_lda",
+        "doc_topics_nmf",
+        "kmeans_model_selection",
+    }
     assert all(n.startswith("corpus_") or n in allowed for n in rows_only), rows_only

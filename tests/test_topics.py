@@ -38,3 +38,64 @@ def test_doc_topics_deterministic_and_total(spark):
     assert topics <= set(range(5))
     # dominant weight must be at least uniform share (1/k)
     assert all(w >= 200000 for _, w in a.values())
+
+
+def np_nmf(docs_pdf, r, iters):
+    """Pure-numpy replay of nmf_factorize: same init, same updates."""
+    import re
+
+    import numpy as np
+
+    from citation_graph_spark.operators.topics import _NMF_EPS, _hash01
+
+    tok_counts = {}
+    for _, row in docs_pdf.iterrows():
+        for t in re.split(r"\s+", row["text"].strip().lower()):
+            tok_counts[(row["doc_id"], t)] = tok_counts.get((row["doc_id"], t), 0) + 1
+    vocab = sorted({t for _, t in tok_counts})
+    jmap = {t: j for j, t in enumerate(vocab)}
+    doc_ids = sorted({d for d, _ in tok_counts})
+    imap = {d: i for i, d in enumerate(doc_ids)}
+    V = np.zeros((len(doc_ids), len(vocab)))
+    for (d, t), c in tok_counts.items():
+        V[imap[d], jmap[t]] = c
+    W = np.array([[_hash01(d, k) for k in range(r)] for d in doc_ids])
+    H = np.array([[_hash01(k + 7919, j) for j in range(len(vocab))] for k in range(r)])
+    for _ in range(iters):
+        H = H * (W.T @ V) / (W.T @ W @ H + _NMF_EPS)
+        W = W * (V @ H.T) / (W @ H @ H.T + _NMF_EPS)
+    return doc_ids, W
+
+
+def test_doc_topics_nmf_matches_numpy_replay(spark):
+    """The full distributed factorization replayed in numpy: same
+    hash init, same multiplicative updates — weights must agree to
+    float-reduction noise and dominant topics must match wherever the
+    top-2 factors aren't in a dead heat."""
+    import numpy as np
+    import pandas as pd
+
+    from citation_graph_spark.operators.topics import _NMF_ITERS, _NMF_R
+
+    docs_pdf = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    doc_ids, W = np_nmf(docs_pdf, _NMF_R, _NMF_ITERS)
+
+    got = {
+        r_["doc_id"]: (r_["topic"], r_["weight_milli"])
+        for r_ in operators.QUERIES["doc_topics_nmf"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(doc_ids)
+    mismatches = 0
+    for i, d in enumerate(doc_ids):
+        order = np.argsort(-W[i])
+        want_topic = int(order[0])
+        want_w = W[i, want_topic]
+        topic, w_milli = got[d]
+        # weights agree to reduction noise
+        assert abs(w_milli - np.floor(W[i, topic] * 1000 + 0.5)) <= 1
+        if topic != want_topic:
+            # only excusable when the top two factors are nearly tied
+            gap = want_w - W[i, int(order[1])]
+            assert gap < 1e-6 * max(want_w, 1.0), (d, topic, want_topic, gap)
+            mismatches += 1
+    assert mismatches <= max(2, len(doc_ids) // 100)
