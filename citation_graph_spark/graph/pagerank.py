@@ -65,18 +65,32 @@ def pagerank(
     resume: bool = False,
     metrics_path: str | None = None,
     salt_buckets: int = 0,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """Returns ``(vid: long, score: double)``; Σ score = 1.
 
     ``vertices`` (a DataFrame with a ``vid`` column) defines the vertex
     universe — isolated vertices still receive teleport + dangling mass.
     If omitted it is derived from edge endpoints.
+
+    ``init_ranks`` — warm start: a ``(vid, score)`` DataFrame (e.g. the
+    converged ranks of a previous, smaller snapshot of the graph) used
+    as the starting vector instead of uniform 1/n. Vertices absent from
+    it get 1/n; the vector is renormalized to Σ=1 and dangling flags
+    are recomputed against the CURRENT edge set, so a grown graph is
+    handled correctly. Unlike ``resume`` (same graph, same iteration
+    counter), warm start begins at iteration 0 with a full budget —
+    convergence just arrives in far fewer rounds because the start is
+    already near the fixpoint. This is the incremental-refresh path for
+    a continuously ingested graph (the reference re-runs analyses from
+    scratch after each ingest batch — data_sources/utils.py:23-121;
+    warm start is the Spark-native O(drift) version of that refresh).
     """
     with iterative_kernel_conf(edges.sparkSession):
         return _pagerank(
             edges, vertices, alpha, tol, max_iter, num_partitions,
             checkpoint_dir, checkpoint_interval, resume, metrics_path,
-            salt_buckets,
+            salt_buckets, init_ranks,
         )
 
 
@@ -92,6 +106,7 @@ def _pagerank(
     resume: bool,
     metrics_path: str | None,
     salt_buckets: int,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     spark = edges.sparkSession
 
@@ -143,16 +158,37 @@ def _pagerank(
             vertices["vid"] == F.col("src"),
             "left_anti",
         ).withColumn("is_dangling", F.lit(True))
-        ranks = (
-            vertices.join(dangling_flags.select("vid", "is_dangling"), "vid", "left")
-            .select(
+        base = vertices.join(
+            dangling_flags.select("vid", "is_dangling"), "vid", "left"
+        )
+        if init_ranks is not None:
+            # warm start: seed from prior scores, 1/n for new vertices,
+            # renormalize so Σ rank = 1 exactly
+            seeded = base.join(
+                init_ranks.select("vid", F.col("score").alias("_seed")),
                 "vid",
-                F.lit(1.0 / n).alias("rank"),
+                "left",
+            ).select(
+                "vid",
+                F.coalesce("_seed", F.lit(1.0 / n)).alias("rank"),
                 F.coalesce("is_dangling", F.lit(False)).alias("is_dangling"),
             )
-            .repartition(num_partitions, "vid")
-            .localCheckpoint(eager=True)
-        )
+            total = seeded.agg(F.sum("rank")).collect()[0][0]
+            ranks = (
+                seeded.withColumn("rank", F.col("rank") / F.lit(float(total)))
+                .repartition(num_partitions, "vid")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            ranks = (
+                base.select(
+                    "vid",
+                    F.lit(1.0 / n).alias("rank"),
+                    F.coalesce("is_dangling", F.lit(False)).alias("is_dangling"),
+                )
+                .repartition(num_partitions, "vid")
+                .localCheckpoint(eager=True)
+            )
 
     teleport = (1.0 - alpha) / n
     total_wall = 0.0
