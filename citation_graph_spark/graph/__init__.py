@@ -4,6 +4,10 @@ from citation_graph_spark.graph.pagerank import pagerank
 from citation_graph_spark.graph.components import connected_components
 from citation_graph_spark.graph.communities import label_propagation
 from citation_graph_spark.graph.triangles import triangle_counts
+from citation_graph_spark.graph.traversal import (
+    bfs_distances,
+    personalized_pagerank,
+)
 
 __all__ = [
     "assign_dense_ids",
@@ -14,4 +18,6 @@ __all__ = [
     "connected_components",
     "label_propagation",
     "triangle_counts",
+    "bfs_distances",
+    "personalized_pagerank",
 ]

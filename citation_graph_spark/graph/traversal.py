@@ -1,0 +1,232 @@
+"""Seed-set traversal kernels: BFS hop distance and personalized
+PageRank.
+
+The reference serves neighborhood expansion interactively — Bloom's
+'Find papers citing $title' / 'Find coauthors of $person_name' scene
+actions expand 1-2 hops from a picked node (reference
+bloom/perspective.json search phrases; neo4j/loader.py relationship
+fan-out). These kernels are the batch-analytics generalization: the
+full hop-distance table from a seed set (multi-source BFS to a round
+cap) and the seed-biased rank vector (personalized PageRank), both as
+the same cached-edges + per-round join/groupBy message passing the
+other kernels use.
+
+Scale posture (both kernels):
+- edges normalized/cached hash-partitioned on ``src`` ONCE; every
+  round's join reuses that layout, so the only per-round shuffle is
+  the groupBy on ``dst``;
+- BFS is frontier-based — per-round work is proportional to the
+  frontier's out-edges, not the reached set, so expanding a small seed
+  neighborhood on a 10^12-edge graph touches only what it reaches;
+- per-round ``localCheckpoint`` truncates lineage (the iterative
+  kernels' shared discipline);
+- the one driver-side value per round is the frontier count — the
+  loop-termination decision, same shape as PageRank's convergence
+  stats.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from citation_graph_spark.graph.degrees import auto_partitions, undirect
+from citation_graph_spark.metrics import MetricsLogger
+from citation_graph_spark.session import iterative_kernel_conf
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iter: int = 30,
+    directed: bool = False,
+    num_partitions: int | None = None,
+    metrics_path: str | None = None,
+) -> DataFrame:
+    """Multi-source BFS: ``(vid: long, dist: int)`` for every vertex
+    reachable from ``seeds`` (a DataFrame with a ``vid`` column) within
+    ``max_iter`` hops; unreached vertices emit no row.
+
+    Level-synchronous frontier algorithm: on an unweighted graph the
+    first round that touches a vertex fixes its distance, so each round
+    joins only the NEW frontier against the cached edges and anti-joins
+    already-settled vertices away.
+    """
+    with iterative_kernel_conf(edges.sparkSession):
+        return _bfs(
+            edges, seeds, max_iter, directed, num_partitions, metrics_path
+        )
+
+
+def _bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iter: int,
+    directed: bool,
+    num_partitions: int | None,
+    metrics_path: str | None,
+) -> DataFrame:
+    spark = edges.sparkSession
+    metrics = MetricsLogger(metrics_path, "bfs")
+
+    e0 = edges.select("src", "dst") if directed else undirect(edges).select(
+        "src", "dst"
+    )
+    e0 = e0.persist()
+    n_edges = e0.count()
+    if num_partitions is None:
+        num_partitions = auto_partitions(spark, n_edges)
+    e = e0.repartition(num_partitions, "src").persist()
+    e.count()
+    e0.unpersist()
+
+    dist = (
+        seeds.select("vid")
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .repartition(num_partitions, "vid")
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("vid")
+
+    for it in range(1, max_iter + 1):
+        t0 = time.monotonic()
+        reached = (
+            e.join(frontier, e["src"] == frontier["vid"])
+            .select(F.col("dst").alias("vid"))
+            .distinct()
+        )
+        new = (
+            reached.join(dist.select("vid"), "vid", "left_anti")
+            .withColumn("dist", F.lit(it))
+            .repartition(num_partitions, "vid")
+            .localCheckpoint(eager=True)
+        )
+        n_new = new.count()
+        metrics.log(
+            it, frontier=n_new, wall_s=round(time.monotonic() - t0, 4)
+        )
+        if n_new == 0:
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("vid")
+
+    e.unpersist()
+    return dist
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    alpha: float = 0.85,
+    max_iter: int = 20,
+    num_partitions: int | None = None,
+    metrics_path: str | None = None,
+) -> DataFrame:
+    """Personalized PageRank: teleport (and dangling) mass returns to
+    the seed set instead of the whole vertex universe. Fixed
+    ``max_iter`` synchronous rounds (cross-engine determinism — same
+    posture as the fixed-round global PageRank oracle). Returns
+    ``(vid: long, score: double)`` over all vertices that appear as an
+    edge endpoint or a seed; Σ score = 1.
+    """
+    with iterative_kernel_conf(edges.sparkSession):
+        return _ppr(
+            edges, seeds, alpha, max_iter, num_partitions, metrics_path
+        )
+
+
+def _ppr(
+    edges: DataFrame,
+    seeds: DataFrame,
+    alpha: float,
+    max_iter: int,
+    num_partitions: int | None,
+    metrics_path: str | None,
+) -> DataFrame:
+    spark = edges.sparkSession
+    metrics = MetricsLogger(metrics_path, "personalized_pagerank")
+
+    out_deg = edges.groupBy("src").agg(F.sum("weight").alias("_wout"))
+    e0 = (
+        edges.join(out_deg, "src")
+        .select("src", "dst", (F.col("weight") / F.col("_wout")).alias("wnorm"))
+        .persist()
+    )
+    n_edges = e0.count()
+    if num_partitions is None:
+        num_partitions = auto_partitions(spark, n_edges)
+    e = e0.repartition(num_partitions, "src").persist()
+    e.count()
+    e0.unpersist()
+
+    vertices = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .unionByName(seeds.select("vid"))
+        .distinct()
+    )
+    seed_set = seeds.select("vid").distinct()
+    n_seeds = seed_set.count()
+
+    # teleport vector s(v): 1/|S| on seeds, 0 elsewhere — carried as a
+    # column so the per-round update is pure column algebra
+    ranks = (
+        vertices.join(
+            seed_set.withColumn("_is_seed", F.lit(True)), "vid", "left"
+        )
+        .select(
+            "vid",
+            F.when(F.col("_is_seed"), 1.0 / n_seeds)
+            .otherwise(0.0)
+            .alias("s"),
+        )
+        .withColumn("rank", F.col("s"))
+        .repartition(num_partitions, "vid")
+        .localCheckpoint(eager=True)
+    )
+
+    # dangling vertices: no out-edges; their mass teleports back to the
+    # seed distribution each round
+    dangling = vertices.join(
+        edges.select("src").distinct(),
+        vertices["vid"] == F.col("src"),
+        "left_anti",
+    ).select("vid")
+    has_dangling = dangling.limit(1).count() > 0
+
+    for it in range(1, max_iter + 1):
+        t0 = time.monotonic()
+        d_mass = 0.0
+        if has_dangling:
+            d_mass = (
+                ranks.join(dangling, "vid")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .collect()[0][0]
+            )
+        contribs = e.join(
+            ranks.select("vid", "rank"), e["src"] == F.col("vid")
+        ).select(F.col("dst"), (F.col("rank") * F.col("wnorm")).alias("c"))
+        sums = contribs.groupBy("dst").agg(F.sum("c").alias("m"))
+        ranks = (
+            ranks.join(sums, ranks["vid"] == sums["dst"], "left")
+            .select(
+                ranks["vid"],
+                ranks["s"],
+                (
+                    F.lit(1.0 - alpha) * F.col("s")
+                    + F.lit(alpha)
+                    * (
+                        F.coalesce(F.col("m"), F.lit(0.0))
+                        + F.lit(d_mass) * F.col("s")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        metrics.log(it, wall_s=round(time.monotonic() - t0, 4), edges=n_edges)
+
+    e.unpersist()
+    return ranks.select("vid", F.col("rank").alias("score"))

@@ -35,9 +35,11 @@ from pyspark.sql import functions as F
 
 from citation_graph_spark.fixtures.corpus import generate_documents
 from citation_graph_spark.graph import (
+    bfs_distances,
     connected_components,
     label_propagation,
     pagerank,
+    personalized_pagerank,
     triangle_counts,
     undirect,
 )
@@ -229,6 +231,101 @@ def graph_part_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE oracle embedding the same window argmax."""
     edges = part_graph_edges(spark, sf_dir)
     return label_propagation(edges, max_iter=_LP_ITERS)
+
+
+# --------------------------------------------------------------------------
+_BFS_ITERS = 8
+_PPR_ITERS = 20
+# deterministic seed set: every 100th part key present in the graph
+_SEED_PRED = "vid % 100 = 0"
+
+
+@register(
+    "graph_part_bfs",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    walk(v, d) AS (
+      SELECT vid, 0 FROM verts WHERE {_SEED_PRED}
+      UNION
+      SELECT s.dst, walk.d + 1
+      FROM walk JOIN sym s ON walk.v = s.src
+      WHERE walk.d < {_BFS_ITERS}
+    )
+    SELECT v AS vid, cast(min(d) AS INT) AS dist FROM walk GROUP BY v
+    """,
+)
+def graph_part_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance from the every-100th-part seed set
+    (Bloom's neighborhood-expansion scene actions generalized to the
+    full reachability table), capped at {8} rounds on both engines, vs
+    a recursive-CTE min-distance closure."""
+    edges = part_graph_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    seeds = verts.filter(F.col("vid") % 100 == 0)
+    return bfs_distances(edges, seeds, max_iter=_BFS_ITERS)
+
+
+@register(
+    "graph_part_ppr",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    deg AS (SELECT src AS v, count(*) AS d FROM sym GROUP BY src),
+    sv AS (
+      SELECT vid,
+             CASE WHEN {_SEED_PRED}
+                  THEN 1.0 / (SELECT count(*) FROM verts WHERE {_SEED_PRED})
+                  ELSE 0.0 END AS s
+      FROM verts
+    ),
+    ppr(it, v, r) AS (
+      SELECT 0, vid, s FROM sv
+      UNION ALL
+      SELECT it, v, r FROM (
+        SELECT m.it + 1 AS it, m.dst AS v,
+               (1.0 - 0.85) * max(m.sdst) + 0.85 * sum(m.r / m.d) AS r
+        FROM (
+          SELECT ppr.it, s.dst, ppr.r, deg.d, sv2.s AS sdst
+          FROM ppr
+            JOIN sym s ON ppr.v = s.src
+            JOIN deg ON ppr.v = deg.v
+            JOIN sv sv2 ON s.dst = sv2.vid
+          WHERE ppr.it < {_PPR_ITERS}
+        ) m
+        GROUP BY m.it + 1, m.dst
+      )
+    )
+    SELECT v AS vid, cast(floor(r * 1000000000 + 0.5) AS BIGINT) AS score_nano
+    FROM ppr WHERE it = {_PPR_ITERS}
+    """,
+)
+def graph_part_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (teleport restricted to the seed set),
+    fixed {20} synchronous rounds, vs a recursive-CTE oracle carrying
+    the per-vertex teleport vector. Same 1e-9 flooring posture as the
+    global kernel. Every vertex in the symmetric part graph has
+    out-edges, so the engine's dangling branch is exercised separately
+    in pytest."""
+    edges = part_graph_edges(spark, sf_dir)
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .withColumn("weight", F.lit(1.0))
+    )
+    verts = sym.select(F.col("src").alias("vid")).distinct()
+    seeds = verts.filter(F.col("vid") % 100 == 0)
+    ranks = personalized_pagerank(sym, seeds, alpha=0.85, max_iter=_PPR_ITERS)
+    return ranks.select(
+        "vid",
+        F.floor(F.col("score") * 1000000000 + F.lit(0.5))
+        .cast("long")
+        .alias("score_nano"),
+    )
 
 
 # --------------------------------------------------------------------------
