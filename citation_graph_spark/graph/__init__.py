@@ -8,6 +8,7 @@ from citation_graph_spark.graph.traversal import (
     bfs_distances,
     personalized_pagerank,
 )
+from citation_graph_spark.graph.kcore import k_core
 
 __all__ = [
     "assign_dense_ids",
@@ -20,4 +21,5 @@ __all__ = [
     "triangle_counts",
     "bfs_distances",
     "personalized_pagerank",
+    "k_core",
 ]

@@ -94,3 +94,33 @@ def upsert_partitioned(
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed (hash-clustered) managed table — the co-located-join
+    storage layout.
+
+    Writing both sides of a recurring fact-fact equi-join bucketed on
+    the join key with the same bucket count makes every subsequent join
+    and aggregation on that key exchange-free: Catalyst recognizes the
+    bucket spec as a satisfied HashClusteredDistribution and plans a
+    sort-merge join with ZERO shuffle on either side
+    (tests/test_sources.py asserts no Exchange in the physical plan).
+    At 100 TB this is the difference between re-shuffling the fact
+    table on every query and shuffling it once at write time — the
+    same role Iceberg's bucket partition transform plays on the
+    catalog seam (tables.py)."""
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

@@ -123,3 +123,42 @@ def stream_event_counts_append(
     )
     q.awaitTermination()
     return spark.table("event_stats_append")
+
+
+def stream_dedup_events(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication on event_id —
+    ``dropDuplicatesWithinWatermark`` keys the state store on the id
+    and evicts each key once the watermark passes, so state stays
+    bounded by (dup horizon × arrival rate) instead of growing with
+    the full history. This is the streaming rung of the dedup ladder
+    (operators/dedup.py): at-least-once upstream delivery (retried
+    fetches, replayed batches — the failure mode the reference's
+    checkpoint loop tolerates by re-merging, integrate_batch.py) is
+    collapsed to exactly-once rows at ingest time.
+
+    Duplicates of an event arriving within ``watermark`` of the first
+    copy are guaranteed dropped; re-deliveries later than the horizon
+    are out of contract (tests keep dups inside it, matching batch
+    dropDuplicates).
+    """
+    events = read_event_stream(spark, source_dir)
+    deduped = (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("events_deduped")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("events_deduped")

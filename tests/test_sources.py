@@ -69,3 +69,39 @@ def test_upsert_partitioned_is_idempotent_merge(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(out).select("part", "v").collect()
     )
     assert rows2 == rows
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """Two tables bucketed on the join key with equal bucket counts →
+    the equi-join plans with ZERO Exchange (co-located sort-merge
+    join). The 100 TB posture: shuffle the fact table once at write
+    time, never again per query."""
+    import io
+    import contextlib
+
+    left = spark.range(0, 10_000).selectExpr(
+        "id AS k", "id * 2 AS a"
+    )
+    right = spark.range(0, 10_000).selectExpr(
+        "id AS k", "id * 3 AS b"
+    )
+    sources.write_bucketed(left, "t_bleft", ["k"], 8, sort_cols=["k"])
+    sources.write_bucketed(right, "t_bright", ["k"], 8, sort_cols=["k"])
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("t_bleft").join(spark.table("t_bright"), "k")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            assert "Exchange" not in plan, plan
+            assert "SortMergeJoin" in plan, plan
+            total = joined.selectExpr("sum(a + b) AS s").collect()[0]["s"]
+            assert total == sum(i * 5 for i in range(10_000))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")

@@ -109,3 +109,24 @@ def test_stateful_sessionizer_matches_batch(spark, stream_dirs):
         for r in QUERIES["event_sessions"](spark, SF_DIR).collect()
     }
     assert streamed == batch
+
+
+def test_stream_dedup_matches_batch_dropduplicates(spark, stream_dirs):
+    from citation_graph_spark.streaming.events import stream_dedup_events
+
+    src_dir, ckpt_dir = stream_dirs
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").filter(
+        F.col("event_id") < 2000
+    )
+    target = os.path.join(src_dir, "stream")
+    # feed every event once, a third of them twice, some three times —
+    # duplicate arrivals land in a later chunk but inside the watermark
+    events.write.mode("append").parquet(target)
+    events.filter(F.col("event_id") % 3 == 0).write.mode("append").parquet(target)
+    events.filter(F.col("event_id") % 9 == 0).write.mode("append").parquet(target)
+
+    deduped = stream_dedup_events(spark, target, ckpt_dir)
+    assert deduped.count() == events.count()
+    assert sorted(r["event_id"] for r in deduped.select("event_id").collect()) == sorted(
+        r["event_id"] for r in events.select("event_id").collect()
+    )

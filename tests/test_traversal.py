@@ -1,11 +1,11 @@
-"""BFS hop distance + personalized PageRank vs sequential numpy
-oracles (same posture as tests/test_graph_kernels.py)."""
+"""BFS hop distance, personalized PageRank and k-core vs sequential
+numpy oracles (same posture as tests/test_graph_kernels.py)."""
 
 from __future__ import annotations
 
 import numpy as np
 
-from citation_graph_spark.graph import bfs_distances, personalized_pagerank
+from citation_graph_spark.graph import bfs_distances, k_core, personalized_pagerank
 from tests.conftest import edges_df, vertices_df
 from tests.oracles import random_graph
 
@@ -94,3 +94,36 @@ def test_ppr_matches_oracle_and_sums_to_one(spark):
     got[out["vid"].to_numpy()] = out["score"].to_numpy()
     assert np.allclose(got, want, atol=1e-9, rtol=0)
     assert abs(got.sum() - 1.0) < 1e-9
+
+
+def kcore_oracle(edges, k):
+    """Classic sequential peel — order-independent fixpoint."""
+    adj: dict[int, set[int]] = {}
+    for s, d, _ in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    alive = set(adj)
+    changed = True
+    while changed:
+        doomed = {v for v in alive if len(adj[v] & alive) < k}
+        changed = bool(doomed)
+        alive -= doomed
+    return alive
+
+
+def test_kcore_matches_sequential_peel(spark):
+    n = 200
+    el = random_graph(n, 900, seed=13)
+    for k in (2, 3, 5):
+        got = {
+            row["vid"] for row in k_core(edges_df(spark, el), k=k).collect()
+        }
+        assert got == kcore_oracle(el, k), f"k={k}"
+
+
+def test_kcore_of_clique_is_clique(spark):
+    # K5 plus a pendant chain: 4-core is exactly the clique
+    el = [(i, j, 1.0) for i in range(5) for j in range(i + 1, 5)]
+    el += [(4, 5, 1.0), (5, 6, 1.0)]
+    got = {row["vid"] for row in k_core(edges_df(spark, el), k=4).collect()}
+    assert got == {0, 1, 2, 3, 4}
