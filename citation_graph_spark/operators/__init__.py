@@ -50,6 +50,7 @@ def load_all() -> None:
         graphq,
         multimodal,
         relational,
+        sampling,
         similarity,
         textops,
         topics,

@@ -71,3 +71,29 @@ def test_author_name_helpers(spark):
 def test_char_bigrams(spark):
     grams = _one(spark, cgf.char_bigrams(F.col("s")), "abca")
     assert sorted(grams) == ["ab", "bc", "ca"]
+
+
+def test_split_col_fractions_and_stability(spark):
+    from citation_graph_spark.operators.sampling import split_col
+    import pyspark.sql.functions as F
+
+    ids = spark.range(0, 20_000).withColumnRenamed("id", "doc_id")
+    counts = {
+        r["split"]: r["n"]
+        for r in ids.withColumn("split", split_col(F.col("doc_id")))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n = 20_000
+    assert abs(counts["train"] / n - 204 / 256) < 0.01
+    assert abs(counts["val"] / n - 26 / 256) < 0.01
+    assert abs(counts["test"] / n - 26 / 256) < 0.01
+    # assignment is a pure function of the key: partitioning-invariant
+    a = ids.withColumn("split", split_col(F.col("doc_id"))).collect()
+    b = (
+        ids.repartition(17)
+        .withColumn("split", split_col(F.col("doc_id")))
+        .collect()
+    )
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
