@@ -1,0 +1,86 @@
+"""Distributed DBSCAN vs a sequential numpy oracle of the identical
+deterministic spec (ε-join, core degree, core components by min id,
+min-border-attach, noise = -1)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from citation_graph_spark.operators.dbscan import dbscan_assign
+
+
+def dbscan_oracle(X: np.ndarray, eps2: int, min_samples: int) -> dict[int, int]:
+    Q = np.floor(X * 1000 + 0.5)
+    n = len(Q)
+    nrm = (Q * Q).sum(1)
+    d2 = nrm[:, None] + nrm[None, :] - 2 * Q @ Q.T
+    adj = (d2 <= eps2) & ~np.eye(n, dtype=bool)
+    core = adj.sum(1) + 1 >= min_samples
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        if not core[i]:
+            continue
+        for j in np.where(adj[i] & core)[0]:
+            ri, rj = find(i), find(int(j))
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+    lab: dict[int, int] = {}
+    for i in range(n):
+        if core[i]:
+            lab[i] = find(i)
+    for i in range(n):
+        if not core[i]:
+            cn = [lab[int(j)] for j in np.where(adj[i])[0] if core[j]]
+            lab[i] = min(cn) if cn else -1
+    return lab
+
+
+def _blobs(seed: int = 3):
+    """Three tight blobs + far-flung noise points, 2-d."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    centers = np.array([[0.0, 0.0], [5.0, 5.0], [-5.0, 4.0]])
+    pts = np.vstack(
+        [c + rng.normal(0, 0.3, size=(30, 2)) for c in centers]
+        + [rng.uniform(15, 30, size=(5, 2))]
+    )
+    return pts
+
+
+def test_dbscan_matches_oracle_and_finds_blobs(spark):
+    X = _blobs()
+    eps2 = 1_000_000  # eps = 1.0 in milli units
+    min_samples = 4
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(len(X)), "embedding": [list(map(float, r)) for r in X]}
+        )
+    )
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in dbscan_assign(emb, eps2=eps2, min_samples=min_samples).collect()
+    }
+    want = dbscan_oracle(X, eps2, min_samples)
+    assert got == want
+    clusters = {c for c in got.values() if c >= 0}
+    assert len(clusters) == 3
+    assert sum(1 for c in got.values() if c == -1) >= 5
+
+
+def test_dbscan_all_noise_when_sparse(spark):
+    X = _blobs(seed=9)[:8] * 50  # blow points apart
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(len(X)), "embedding": [list(map(float, r)) for r in X]}
+        )
+    )
+    got = dbscan_assign(emb, eps2=100, min_samples=3).collect()
+    assert all(r["cluster"] == -1 for r in got)
