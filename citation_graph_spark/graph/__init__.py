@@ -9,6 +9,7 @@ from citation_graph_spark.graph.traversal import (
     personalized_pagerank,
 )
 from citation_graph_spark.graph.kcore import k_core
+from citation_graph_spark.graph.hits import hits
 
 __all__ = [
     "assign_dense_ids",
@@ -22,4 +23,5 @@ __all__ = [
     "bfs_distances",
     "personalized_pagerank",
     "k_core",
+    "hits",
 ]

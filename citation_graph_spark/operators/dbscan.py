@@ -179,3 +179,39 @@ def dbscan_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     reachability-CTE components → min-border-attach → noise)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     return dbscan_assign(emb)
+
+
+@register(
+    "single_linkage_embedding",
+    oracle=f"""
+    WITH RECURSIVE q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> cast(floor(cast(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM q),
+    pairs AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+      WHERE a.nrm + b.nrm - 2 * list_dot_product(a.qv, b.qv) <= {_EPS2}
+    ),
+    reach(v, l) AS (
+      SELECT vec_id, vec_id FROM n
+      UNION
+      SELECT pairs.v2, reach.l FROM reach JOIN pairs ON reach.v = pairs.v1
+    )
+    SELECT v AS vec_id, min(l) AS cluster FROM reach GROUP BY v
+    """,
+)
+def single_linkage_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat single-linkage agglomerative clustering at distance cutoff
+    eps — reference clustering/agglomerative.py parity for the one
+    linkage that distributes honestly: cutting a single-linkage
+    dendrogram at threshold t IS connected components of the
+    ε-threshold graph, so this is ``dbscan_assign`` with
+    ``min_samples=1`` (every point core, no noise). Complete/ward
+    linkage are inherently sequential merges and stay out of scope
+    (COVERAGE.md)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return dbscan_assign(emb, min_samples=1)

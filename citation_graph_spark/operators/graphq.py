@@ -37,6 +37,7 @@ from citation_graph_spark.fixtures.corpus import generate_documents
 from citation_graph_spark.graph import (
     bfs_distances,
     connected_components,
+    hits,
     k_core,
     label_propagation,
     pagerank,
@@ -370,6 +371,61 @@ def graph_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree."""
     edges = part_graph_edges(spark, sf_dir)
     return k_core(edges, k=_KCORE_K, max_iter=_KCORE_ITERS)
+
+
+# --------------------------------------------------------------------------
+_HITS_ITERS = 15
+
+
+@register(
+    "graph_part_hits",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    nv AS (SELECT count(*) AS n FROM verts),
+    ex AS (
+      SELECT src AS mfrom, dst AS mto, true AS is_fwd FROM edges
+      UNION ALL
+      SELECT dst, src, false FROM edges
+    ),
+    hs(it, v, a, h) AS (
+      SELECT 0, vid, 1.0 / (SELECT n FROM nv), 1.0 / (SELECT n FROM nv)
+      FROM verts
+      UNION ALL
+      SELECT it, v,
+             a_raw / sum(a_raw) OVER (PARTITION BY it) AS a,
+             h_raw / sum(h_raw) OVER (PARTITION BY it) AS h
+      FROM (
+        SELECT s.it + 1 AS it, x.mto AS v,
+               sum(CASE WHEN x.is_fwd THEN s.h ELSE 0 END) AS a_raw,
+               sum(CASE WHEN NOT x.is_fwd THEN s.a ELSE 0 END) AS h_raw
+        FROM hs s JOIN ex x ON s.v = x.mfrom
+        WHERE s.it < {_HITS_ITERS}
+        GROUP BY s.it + 1, x.mto
+      )
+    )
+    SELECT v AS vid,
+           cast(floor(a * 1000000000 + 0.5) AS BIGINT) AS auth_nano,
+           cast(floor(h * 1000000000 + 0.5) AS BIGINT) AS hub_nano
+    FROM hs WHERE it = {_HITS_ITERS}
+    """,
+)
+def graph_part_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities, {15} synchronous Jacobi rounds on the
+    DIRECTED (low→high partkey) part graph — direction asymmetry gives
+    hubs and authorities distinct structure — vs a recursive-CTE oracle
+    running the identical simultaneous update with window-function L1
+    normalization per round. 1e-9 flooring as for PageRank."""
+    edges = part_graph_edges(spark, sf_dir)
+    scores = hits(edges, max_iter=_HITS_ITERS)
+    return scores.select(
+        "vid",
+        F.floor(F.col("authority") * 1000000000 + F.lit(0.5))
+        .cast("long")
+        .alias("auth_nano"),
+        F.floor(F.col("hub") * 1000000000 + F.lit(0.5))
+        .cast("long")
+        .alias("hub_nano"),
+    )
 
 
 # --------------------------------------------------------------------------

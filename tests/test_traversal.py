@@ -127,3 +127,38 @@ def test_kcore_of_clique_is_clique(spark):
     el += [(4, 5, 1.0), (5, 6, 1.0)]
     got = {row["vid"] for row in k_core(edges_df(spark, el), k=4).collect()}
     assert got == {0, 1, 2, 3, 4}
+
+
+def hits_oracle(n, edges, iters):
+    a = np.full(n, 1.0 / n)
+    h = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        a_raw = np.zeros(n)
+        h_raw = np.zeros(n)
+        for s, d, _ in edges:
+            a_raw[d] += h[s]
+            h_raw[s] += a[d]
+        a = a_raw / a_raw.sum()
+        h = h_raw / h_raw.sum()
+    return a, h
+
+
+def test_hits_matches_oracle(spark):
+    from citation_graph_spark.graph import hits
+
+    n = 150
+    el = random_graph(n, 600, seed=21)
+    out = (
+        hits(edges_df(spark, el), vertices_df(spark, n), max_iter=12)
+        .orderBy("vid")
+        .toPandas()
+    )
+    # restrict the oracle to the same vertex universe (all n vertices)
+    wa, wh = hits_oracle(n, el, iters=12)
+    ga = np.zeros(n)
+    gh = np.zeros(n)
+    ga[out["vid"].to_numpy()] = out["authority"].to_numpy()
+    gh[out["vid"].to_numpy()] = out["hub"].to_numpy()
+    assert np.allclose(ga, wa, atol=1e-9, rtol=0)
+    assert np.allclose(gh, wh, atol=1e-9, rtol=0)
+    assert abs(ga.sum() - 1.0) < 1e-9 and abs(gh.sum() - 1.0) < 1e-9
