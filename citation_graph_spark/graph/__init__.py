@@ -7,6 +7,7 @@ from citation_graph_spark.graph.triangles import triangle_counts
 from citation_graph_spark.graph.traversal import (
     bfs_distances,
     personalized_pagerank,
+    sssp,
 )
 from citation_graph_spark.graph.kcore import k_core
 from citation_graph_spark.graph.hits import hits
@@ -24,4 +25,5 @@ __all__ = [
     "personalized_pagerank",
     "k_core",
     "hits",
+    "sssp",
 ]

@@ -42,6 +42,7 @@ from citation_graph_spark.graph import (
     label_propagation,
     pagerank,
     personalized_pagerank,
+    sssp,
     triangle_counts,
     undirect,
 )
@@ -371,6 +372,74 @@ def graph_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree."""
     edges = part_graph_edges(spark, sf_dir)
     return k_core(edges, k=_KCORE_K, max_iter=_KCORE_ITERS)
+
+
+# --------------------------------------------------------------------------
+_SSSP_ITERS = 12
+
+
+@register(
+    "graph_part_sssp",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    wedges AS (
+      SELECT a.pk AS src, b.pk AS dst, count(*) AS w
+      FROM wb a JOIN wb b
+        ON a.okey = b.okey AND a.brand = b.brand AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+    ),
+    ex AS (
+      SELECT src, dst, w FROM wedges
+      UNION ALL SELECT dst, src, w FROM wedges
+      UNION ALL SELECT vid, vid, 0 FROM verts
+    ),
+    dists(it, v, d) AS (
+      SELECT 0, vid,
+             CASE WHEN {_SEED_PRED} THEN cast(0 AS BIGINT) ELSE NULL END
+      FROM verts
+      UNION ALL
+      SELECT it, v, d FROM (
+        SELECT s.it + 1 AS it, x.dst AS v, min(s.d + x.w) AS d
+        FROM dists s JOIN ex x ON s.v = x.src
+        WHERE s.it < {_SSSP_ITERS}
+        GROUP BY s.it + 1, x.dst
+      )
+    )
+    SELECT v AS vid, d AS dist
+    FROM dists WHERE it = {_SSSP_ITERS} AND d IS NOT NULL
+    """,
+)
+def graph_part_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source weighted shortest paths from the every-100th-part
+    seed set, edge length = co-order multiplicity, capped at {12}
+    relaxation rounds on both engines. The oracle carries the full
+    distance vector per iteration (self-loops of length 0 keep every
+    vertex's own distance in the min — one recursive reference); the
+    engine runs the delta Bellman-Ford which provably produces the
+    identical per-round states."""
+    t = load_tables(spark, sf_dir)
+    items = t["lineitem"].select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    wb = items.join(
+        F.broadcast(t["part"].select("p_partkey", "p_brand")),
+        F.col("pk") == F.col("p_partkey"),
+    ).select("okey", "pk", F.col("p_brand").alias("brand"))
+    a = wb.select("okey", "brand", F.col("pk").alias("src"))
+    b = wb.select("okey", "brand", F.col("pk").alias("dst"))
+    wedges = (
+        a.join(b, ["okey", "brand"])
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    verts = (
+        wedges.select(F.col("src").alias("vid"))
+        .unionByName(wedges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    seeds = verts.filter(F.col("vid") % 100 == 0)
+    return sssp(wedges, seeds, max_iter=_SSSP_ITERS, directed=False)
 
 
 # --------------------------------------------------------------------------

@@ -162,3 +162,59 @@ def test_hits_matches_oracle(spark):
     assert np.allclose(ga, wa, atol=1e-9, rtol=0)
     assert np.allclose(gh, wh, atol=1e-9, rtol=0)
     assert abs(ga.sum() - 1.0) < 1e-9 and abs(gh.sum() - 1.0) < 1e-9
+
+
+def sssp_oracle(n, edges, seeds, max_iter, directed=False):
+    """Synchronous Bellman-Ford, round-capped, integer weights."""
+    adj: dict[int, list[tuple[int, int]]] = {i: [] for i in range(n)}
+    for s, d, w in edges:
+        adj[s].append((d, int(w)))
+        if not directed:
+            adj[d].append((s, int(w)))
+    INF = float("inf")
+    dist = {v: (0 if v in seeds else INF) for v in range(n)}
+    for _ in range(max_iter):
+        new = dict(dist)
+        for u in range(n):
+            if dist[u] == INF:
+                continue
+            for v, w in adj[u]:
+                if dist[u] + w < new[v]:
+                    new[v] = dist[u] + w
+        if new == dist:
+            break
+        dist = new
+    return {v: d for v, d in dist.items() if d != INF}
+
+
+def test_sssp_weighted_matches_oracle(spark):
+    from citation_graph_spark.graph import sssp
+
+    n = 120
+    rng = np.random.Generator(np.random.PCG64(17))
+    el = random_graph(n, 400, seed=17)
+    el = [(s, d, float(rng.integers(1, 9))) for s, d, _ in el]
+    seeds = {0, 60}
+    got = {
+        r["vid"]: r["dist"]
+        for r in sssp(
+            edges_df(spark, el),
+            vertices_df(spark, n).filter("vid in (0, 60)"),
+            max_iter=30,
+        ).collect()
+    }
+    assert got == sssp_oracle(n, el, seeds, max_iter=30)
+
+
+def test_sssp_prefers_light_path_and_respects_cap(spark):
+    from citation_graph_spark.graph import sssp
+
+    # heavy shortcut 0->3 (w=10) vs light chain 0->1->2->3 (w=1 each)
+    el = [(0, 3, 10.0), (0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)]
+    e = edges_df(spark, el)
+    s = vertices_df(spark, 4).filter("vid = 0")
+    full = {r["vid"]: r["dist"] for r in sssp(e, s, max_iter=10).collect()}
+    assert full == {0: 0, 1: 1, 2: 2, 3: 3}
+    # one round only: the 3-hop light path is not yet found
+    capped = {r["vid"]: r["dist"] for r in sssp(e, s, max_iter=1).collect()}
+    assert capped == {0: 0, 1: 1, 3: 10}
