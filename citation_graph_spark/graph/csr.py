@@ -19,6 +19,12 @@ The Arrow batch boundary costs one serialization of the rank vector
 per partition per round; the win is O(edges) numpy arithmetic instead
 of JVM row processing when the per-edge payload gets heavy. Both paths
 produce identical results (tests assert allclose 1e-12).
+
+Measured A/B (346k-edge bench corpus, local[32], warm, interleaved
+×3): join kernel 10.9/11.1/9.7 s to 1e-6, CSR 17.1/15.9/14.2 s — for
+the plain rank·wnorm payload the JVM join/groupBy wins and stays the
+default everywhere; this module is kept for the heavy-payload regime
+it exists for, with its equality tests as the safety net.
 """
 
 from __future__ import annotations
