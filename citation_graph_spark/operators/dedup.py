@@ -542,3 +542,66 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cosine_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+def _minhash_groups_oracle() -> str:
+    h = _H_DUCK.format(x="shingle", p=_P)
+    mins = ", ".join(
+        f"{e} AS m{j}" for j, e in enumerate(_minhash_exprs_sql(h))
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"concat_ws('-', m{4 * b}, m{4 * b + 1}, m{4 * b + 2}, m{4 * b + 3}) AS sig "
+        "FROM sigs"
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    sigs AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id),
+    bands AS ({band_rows}),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sym AS (SELECT d1 AS s, d2 AS d FROM prs UNION SELECT d2, d1 FROM prs),
+    docs AS (SELECT DISTINCT doc_id FROM documents),
+    reach(v, l) AS (
+      SELECT doc_id, doc_id FROM docs
+      UNION
+      SELECT sym.d, reach.l FROM reach JOIN sym ON reach.v = sym.s
+    )
+    SELECT v AS doc_id, min(l) AS group_id, v = min(l) AS is_kept
+    FROM reach GROUP BY v
+    """
+
+
+@register("dedup_groups_minhash", oracle=_minhash_groups_oracle())
+def dedup_groups_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → duplicate GROUPS → canonical representative: the step a
+    real pipeline runs after any near-dup rung (keep one doc per
+    duplicate cluster, drop the rest). Connected components over the
+    MinHash-LSH candidate-pair graph, every document a vertex
+    (singletons form their own group); group id = min doc_id, the kept
+    representative is the group id itself — all order-insensitive.
+    Scale: the pair graph is the LSH output (sub-quadratic) and CC is
+    the engine's O(diameter)-round kernel; duplicate clusters are tiny,
+    so rounds ≈ 2-3."""
+    from citation_graph_spark.graph import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(
+        F.col("d1").alias("src"),
+        F.col("d2").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        F.col("doc_id").alias("vid")
+    ).distinct()
+    comp = connected_components(edges, vertices=docs)
+    return comp.select(
+        F.col("vid").alias("doc_id"),
+        F.col("component").alias("group_id"),
+        (F.col("vid") == F.col("component")).alias("is_kept"),
+    )
