@@ -6,6 +6,7 @@ from citation_graph_spark.graph.communities import label_propagation
 from citation_graph_spark.graph.triangles import triangle_counts
 from citation_graph_spark.graph.traversal import (
     bfs_distances,
+    bfs_per_source,
     personalized_pagerank,
     sssp,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "label_propagation",
     "triangle_counts",
     "bfs_distances",
+    "bfs_per_source",
     "personalized_pagerank",
     "k_core",
     "hits",

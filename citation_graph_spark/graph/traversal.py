@@ -117,6 +117,84 @@ def _bfs(
     return dist
 
 
+def bfs_per_source(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iter: int = 30,
+    directed: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-source BFS: ``(seed: long, vid: long, dist: int)`` — the
+    full distance table from EACH seed separately (the multi-source
+    ``bfs_distances`` collapses to the min). Same frontier algorithm
+    in the (seed × vertex) product space: state is keyed (seed, vid),
+    the per-round edge join still keys on vid alone, so the cached
+    src-partitioned edge layout is reused and per-round work is
+    proportional to Σ frontier out-edges across seeds.
+
+    This is the sampled-source primitive behind centrality estimation
+    on web-scale graphs: exact per-source distances for a K-seed
+    sample instead of O(n) BFS runs (cf. the harmonic-centrality query
+    built on it)."""
+    with iterative_kernel_conf(edges.sparkSession):
+        return _bfs_per_source(
+            edges, seeds, max_iter, directed, num_partitions
+        )
+
+
+def _bfs_per_source(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iter: int,
+    directed: bool,
+    num_partitions: int | None,
+) -> DataFrame:
+    spark = edges.sparkSession
+    e0 = edges.select("src", "dst") if directed else undirect(edges).select(
+        "src", "dst"
+    )
+    e0 = e0.persist()
+    n_edges = e0.count()
+    if num_partitions is None:
+        num_partitions = auto_partitions(spark, n_edges)
+    e = e0.repartition(num_partitions, "src").persist()
+    e.count()
+    e0.unpersist()
+
+    dist = (
+        seeds.select("vid")
+        .distinct()
+        .select(
+            F.col("vid").alias("seed"),
+            F.col("vid"),
+            F.lit(0).alias("dist"),
+        )
+        .repartition(num_partitions, "vid")
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("seed", "vid")
+
+    for it in range(1, max_iter + 1):
+        reached = (
+            e.join(frontier, e["src"] == frontier["vid"])
+            .select("seed", F.col("dst").alias("vid"))
+            .distinct()
+        )
+        new = (
+            reached.join(dist.select("seed", "vid"), ["seed", "vid"], "left_anti")
+            .withColumn("dist", F.lit(it))
+            .repartition(num_partitions, "vid")
+            .localCheckpoint(eager=True)
+        )
+        if new.count() == 0:
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        frontier = new.select("seed", "vid")
+
+    e.unpersist()
+    return dist
+
+
 def sssp(
     edges: DataFrame,
     seeds: DataFrame,

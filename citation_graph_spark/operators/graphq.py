@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from citation_graph_spark.fixtures.corpus import generate_documents
 from citation_graph_spark.graph import (
     bfs_distances,
+    bfs_per_source,
     connected_components,
     hits,
     k_core,
@@ -372,6 +373,115 @@ def graph_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree."""
     edges = part_graph_edges(spark, sf_dir)
     return k_core(edges, k=_KCORE_K, max_iter=_KCORE_ITERS)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "graph_part_clustering_coeff",
+    oracle=f"""
+    WITH {_GRAPH_CTE},
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM edges e1
+        JOIN edges e2 ON e2.src = e1.dst
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    corners AS (
+      SELECT a AS vid FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ),
+    t AS (SELECT vid, count(*) AS n FROM corners GROUP BY vid),
+    deg AS (SELECT src AS vid, count(*) AS d FROM sym GROUP BY src)
+    SELECT v.vid,
+           CASE WHEN deg.d >= 2
+                THEN (2 * coalesce(t.n, 0) * 1000000) // (deg.d * (deg.d - 1))
+                ELSE cast(0 AS BIGINT) END AS lcc_micro
+    FROM verts v
+      JOIN deg USING (vid)
+      LEFT JOIN t USING (vid)
+    """,
+)
+def graph_part_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient lcc(v) = 2T(v)/(d(v)(d(v)-1)) —
+    composed from the engine's triangle and degree kernels. Emitted as
+    a floor-divided micro integer: the whole computation is integer
+    arithmetic end to end, so cross-engine equality is exact, not
+    tolerance-based."""
+    edges = part_graph_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    tri = triangle_counts(edges, vertices=verts)
+    deg = (
+        undirect(edges)
+        .groupBy(F.col("src").alias("vid"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        verts.join(deg, "vid")
+        .join(tri, "vid", "left")
+        .select(
+            "vid",
+            F.when(
+                F.col("d") >= 2,
+                F.expr(
+                    "div(2 * coalesce(n_triangles, 0) * 1000000, d * (d - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("lcc_micro"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+_HARM_ITERS = 6
+
+
+@register(
+    "graph_part_harmonic",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    walk(s, v, d) AS (
+      SELECT vid, vid, 0 FROM verts WHERE {_SEED_PRED}
+      UNION
+      SELECT walk.s, sym.dst, walk.d + 1
+      FROM walk JOIN sym ON walk.v = sym.src
+      WHERE walk.d < {_HARM_ITERS}
+    ),
+    mind AS (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v)
+    SELECT v AS vid, cast(sum(1000000 // d) AS BIGINT) AS harmonic_micro
+    FROM mind WHERE d > 0 GROUP BY v
+    """,
+)
+def graph_part_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source harmonic centrality: Σ over the seed sample of
+    1/d(seed, v), per-term floor-quantized to micro units so the whole
+    aggregate is integer-exact cross-engine. Distances from the
+    per-source frontier BFS ({6}-round cap on both engines) — the
+    standard K-sampled-sources estimator for closeness/harmonic
+    centrality on graphs where all-pairs BFS is unaffordable."""
+    edges = part_graph_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    seeds = verts.filter(F.col("vid") % 100 == 0)
+    d = bfs_per_source(edges, seeds, max_iter=_HARM_ITERS)
+    return (
+        d.filter(F.col("dist") > 0)
+        .groupBy("vid")
+        .agg(
+            F.sum(F.expr("div(1000000, dist)")).cast("long").alias(
+                "harmonic_micro"
+            )
+        )
+    )
 
 
 # --------------------------------------------------------------------------

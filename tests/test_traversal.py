@@ -218,3 +218,24 @@ def test_sssp_prefers_light_path_and_respects_cap(spark):
     # one round only: the 3-hop light path is not yet found
     capped = {r["vid"]: r["dist"] for r in sssp(e, s, max_iter=1).collect()}
     assert capped == {0: 0, 1: 1, 3: 10}
+
+
+def test_bfs_per_source_matches_per_seed_oracle(spark):
+    from citation_graph_spark.graph import bfs_per_source
+
+    n = 150
+    el = random_graph(n, 450, seed=29)
+    seeds = [0, 75, 149]
+    got = {
+        (r["seed"], r["vid"]): r["dist"]
+        for r in bfs_per_source(
+            edges_df(spark, el),
+            vertices_df(spark, n).filter("vid in (0, 75, 149)"),
+            max_iter=30,
+        ).collect()
+    }
+    want = {}
+    for s in seeds:
+        for v, d in bfs_oracle(n, el, [s], directed=False, max_iter=30).items():
+            want[(s, v)] = d
+    assert got == want
