@@ -47,11 +47,43 @@ HEADLINE = [
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
 
 
+def _host_membw_probe(seconds: float = 4.0) -> float:
+    """Aggregate 2-process streaming-read MB/s — the host-drift context
+    for this run. The sandbox host's visible DRAM bandwidth drifts
+    ~30-50% between sessions and every memory-bound query moves with
+    it (BASELINE.md "Host-drift caveat"), so each BENCH record carries
+    its own bandwidth reading: compare rounds via queries÷bandwidth,
+    not raw seconds."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def _worker(q) -> None:
+        a = np.random.rand(64 * 1024 * 1024 // 8)
+        t_end = time.monotonic() + seconds
+        n = 0
+        s = 0.0
+        while time.monotonic() < t_end:
+            s += float(a.sum())
+            n += 1
+        q.put(n * 64 / seconds)
+
+    q: "mp.Queue" = mp.Queue()
+    procs = [mp.Process(target=_worker, args=(q,)) for _ in range(2)]
+    for x in procs:
+        x.start()
+    rates = [q.get() for _ in procs]
+    for x in procs:
+        x.join()
+    return round(sum(rates), 1)
+
+
 def main() -> None:
     from citation_graph_spark.session import get_spark
     from citation_graph_spark import operators
 
     operators.load_all()
+    membw = _host_membw_probe()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -120,6 +152,7 @@ def main() -> None:
             "edges_per_sec": round(iters * n_edges / pr_s, 1),
         },
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+        "host_membw_2proc_mb_s": membw,
     }
     print(json.dumps(out))
 
