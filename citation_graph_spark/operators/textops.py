@@ -219,3 +219,37 @@ def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("lang", "term", "n", "rk")
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "token_histogram",
+    oracle=r"""
+    SELECT (len(string_split_regex(trim(text), '\s+')) // 10) * 10 AS bucket,
+           count(*) AS n_docs,
+           cast(sum(length(text)) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution: documents bucketed by whitespace
+    token count (width-10 bins, pure integer arithmetic — exact
+    cross-engine). The profiling rollup a pipeline runs before setting
+    sequence-length / packing parameters; also the shape of any
+    sketch-free distribution summary at 100 TB (one map-side-combined
+    aggregate, cardinality = number of buckets)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        d.select(
+            F.expr(
+                "(size(split(trim(text), '\\\\s+')) div 10) * 10"
+            ).alias("bucket"),
+            F.length("text").alias("nc"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nc").cast("long").alias("chars"),
+        )
+    )
