@@ -47,6 +47,22 @@ HEADLINE = [
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
 
 
+def _membw_worker(q, seconds: float) -> None:
+    # module-level so mp works under spawn/forkserver start methods too
+    import numpy as np
+
+    a = np.random.rand(64 * 1024 * 1024 // 8)
+    t0 = time.monotonic()
+    t_end = t0 + seconds
+    n = 0
+    s = 0.0
+    while time.monotonic() < t_end:
+        s += float(a.sum())
+        n += 1
+    elapsed = time.monotonic() - t0  # divide by MEASURED time: the last
+    q.put(n * 64 / elapsed)  # pass may overrun the nominal budget
+
+
 def _host_membw_probe(seconds: float = 4.0) -> float:
     """Aggregate 2-process streaming-read MB/s — the host-drift context
     for this run. The sandbox host's visible DRAM bandwidth drifts
@@ -56,20 +72,10 @@ def _host_membw_probe(seconds: float = 4.0) -> float:
     not raw seconds."""
     import multiprocessing as mp
 
-    import numpy as np
-
-    def _worker(q) -> None:
-        a = np.random.rand(64 * 1024 * 1024 // 8)
-        t_end = time.monotonic() + seconds
-        n = 0
-        s = 0.0
-        while time.monotonic() < t_end:
-            s += float(a.sum())
-            n += 1
-        q.put(n * 64 / seconds)
-
     q: "mp.Queue" = mp.Queue()
-    procs = [mp.Process(target=_worker, args=(q,)) for _ in range(2)]
+    procs = [
+        mp.Process(target=_membw_worker, args=(q, seconds)) for _ in range(2)
+    ]
     for x in procs:
         x.start()
     rates = [q.get() for _ in procs]

@@ -85,7 +85,20 @@ def build_edges(
     reference data_checks/test_article_cites_article.py:19-24 and the
     fetch-time exclusion europmc.py:285).
     """
-    refs = extract_references(docs)
+    return resolve_refs(extract_references(docs), vertices, broadcast_threshold)
+
+
+def resolve_refs(
+    refs: DataFrame,
+    vertices: DataFrame,
+    broadcast_threshold: int = 1_000_000,
+) -> DataFrame:
+    """(src_path, ref_key) reference rows → (src, dst, weight) edges.
+
+    The resolution-join block shared by the batch path (build_edges)
+    and the streaming path (streaming/incremental.resolve_edges),
+    including the broadcast-threshold guard — one implementation, both
+    ingestion modes."""
     v = vertices.select(
         F.col("vid"),
         F.col("path"),

@@ -72,6 +72,10 @@ def _hits(
         )
     vertices = vertices.select("vid")
     n = vertices.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "vid long, authority double, hub double"
+        )
 
     # augmented message table: fwd rows carry h(src)→a(dst), rev rows
     # carry a(dst)→h(src); one join serves both score updates
@@ -109,8 +113,12 @@ def _hits(
         sums = msgs.groupBy("mto").agg(
             F.sum("ca").alias("a_raw"), F.sum("ch").alias("h_raw")
         )
+        # join onto the checkpointed state (it carries the identical
+        # vertex universe) — joining the derived `vertices` here would
+        # recompute its distinct-union-of-edges shuffle every round
         raw = (
-            vertices.join(sums, vertices["vid"] == sums["mto"], "left")
+            state.select("vid")
+            .join(sums, F.col("vid") == sums["mto"], "left")
             .select(
                 "vid",
                 F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"),
@@ -120,7 +128,13 @@ def _hits(
             .persist()
         )
         tot = raw.agg(F.sum("a_raw"), F.sum("h_raw")).collect()[0]
-        ta, th = float(tot[0]), float(tot[1])
+        ta, th = float(tot[0] or 0.0), float(tot[1] or 0.0)
+        if ta == 0.0 or th == 0.0:
+            # edgeless (or one-directional degenerate) graph: scores
+            # cannot renormalize — keep the current state rather than
+            # dividing by zero
+            raw.unpersist()
+            break
         state = raw.select(
             "vid",
             (F.col("a_raw") / F.lit(ta)).alias("a"),

@@ -360,41 +360,49 @@ def _ppr(
     )
     seed_set = seeds.select("vid").distinct()
     n_seeds = seed_set.count()
+    if n_seeds == 0:
+        # no teleport targets: PPR is undefined; empty result, not a
+        # ZeroDivisionError from a data-dependent seed predicate
+        return spark.createDataFrame([], "vid long, score double")
 
-    # teleport vector s(v): 1/|S| on seeds, 0 elsewhere — carried as a
-    # column so the per-round update is pure column algebra
+    # teleport vector s(v): 1/|S| on seeds, 0 elsewhere, and the
+    # dangling flag — both carried as state columns (the pagerank.py
+    # pattern) so no per-round plan rebuilds anything
+    dangling_flags = vertices.join(
+        edges.select("src").distinct(),
+        vertices["vid"] == F.col("src"),
+        "left_anti",
+    ).withColumn("is_dangling", F.lit(True))
     ranks = (
         vertices.join(
             seed_set.withColumn("_is_seed", F.lit(True)), "vid", "left"
         )
+        .join(dangling_flags.select("vid", "is_dangling"), "vid", "left")
         .select(
             "vid",
             F.when(F.col("_is_seed"), 1.0 / n_seeds)
             .otherwise(0.0)
             .alias("s"),
+            F.coalesce("is_dangling", F.lit(False)).alias("is_dangling"),
         )
         .withColumn("rank", F.col("s"))
         .repartition(num_partitions, "vid")
         .localCheckpoint(eager=True)
     )
-
-    # dangling vertices: no out-edges; their mass teleports back to the
-    # seed distribution each round
-    dangling = vertices.join(
-        edges.select("src").distinct(),
-        vertices["vid"] == F.col("src"),
-        "left_anti",
-    ).select("vid")
-    has_dangling = dangling.limit(1).count() > 0
+    has_dangling = ranks.filter(F.col("is_dangling")).limit(1).count() > 0
 
     for it in range(1, max_iter + 1):
         t0 = time.monotonic()
         d_mass = 0.0
         if has_dangling:
+            # one small agg over the checkpointed state — no recompute
             d_mass = (
-                ranks.join(dangling, "vid")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                .collect()[0][0]
+                ranks.agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("is_dangling"), F.col("rank"))),
+                        F.lit(0.0),
+                    )
+                ).collect()[0][0]
             )
         contribs = e.join(
             ranks.select("vid", "rank"), e["src"] == F.col("vid")
@@ -405,6 +413,7 @@ def _ppr(
             .select(
                 ranks["vid"],
                 ranks["s"],
+                ranks["is_dangling"],
                 (
                     F.lit(1.0 - alpha) * F.col("s")
                     + F.lit(alpha)

@@ -121,7 +121,9 @@ def dbscan_assign(
         .join(assigned.select("vec_id"), "vec_id", "left_anti")
         .withColumn("cluster", F.lit(-1).cast("long"))
     )
-    out = assigned.unionByName(noise)
+    # materialize while pairs/core are still cached — unpersisting
+    # first would recompute the ε cross-join on every downstream action
+    out = assigned.unionByName(noise).localCheckpoint(eager=True)
     pairs.unpersist()
     core.unpersist()
     return out

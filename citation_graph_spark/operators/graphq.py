@@ -187,7 +187,7 @@ def graph_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank, fixed {20} synchronous rounds (tol=0 → no early exit)
+    """PageRank, fixed 20 synchronous rounds (tol=0 → no early exit)
     on the symmetric part graph, vs a recursive-CTE power-iteration
     oracle. Scores floored at 1e-9 — engine/oracle float divergence is
     ~1e-15 (identical IEEE ops, different summation order only)."""
@@ -230,7 +230,7 @@ def graph_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_part_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synchronous label propagation, {5} rounds, mode-of-neighbors with
+    """Synchronous label propagation, 5 rounds, mode-of-neighbors with
     min-label tie-break (order-insensitive — SURVEY §7.2(c)), vs a
     recursive-CTE oracle embedding the same window argmax."""
     edges = part_graph_edges(spark, sf_dir)
@@ -261,7 +261,7 @@ _SEED_PRED = "vid % 100 = 0"
 def graph_part_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distance from the every-100th-part seed set
     (Bloom's neighborhood-expansion scene actions generalized to the
-    full reachability table), capped at {8} rounds on both engines, vs
+    full reachability table), capped at 8 rounds on both engines, vs
     a recursive-CTE min-distance closure."""
     edges = part_graph_edges(spark, sf_dir)
     verts = (
@@ -308,7 +308,7 @@ def graph_part_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_part_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank (teleport restricted to the seed set),
-    fixed {20} synchronous rounds, vs a recursive-CTE oracle carrying
+    fixed 20 synchronous rounds, vs a recursive-CTE oracle carrying
     the per-vertex teleport vector. Same 1e-9 flooring posture as the
     global kernel. Every vertex in the symmetric part graph has
     out-edges, so the engine's dangling branch is exercised separately
@@ -365,8 +365,8 @@ _KCORE_ITERS = 10
     """,
 )
 def graph_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{3}-core of the part graph via synchronous peeling, capped at
-    {10} rounds on both engines (the oracle carries per-vertex alive
+    """3-core of the part graph via synchronous peeling, capped at
+    10 rounds on both engines (the oracle carries per-vertex alive
     flags through a recursive CTE with self-messages so one recursive
     reference suffices). The engine breaks early at the fixpoint;
     post-fixpoint oracle rounds are no-ops, so the capped states
@@ -462,7 +462,7 @@ def graph_part_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled-source harmonic centrality: Σ over the seed sample of
     1/d(seed, v), per-term floor-quantized to micro units so the whole
     aggregate is integer-exact cross-engine. Distances from the
-    per-source frontier BFS ({6}-round cap on both engines) — the
+    per-source frontier BFS (6-round cap on both engines) — the
     standard K-sampled-sources estimator for closeness/harmonic
     centrality on graphs where all-pairs BFS is unaffordable."""
     edges = part_graph_edges(spark, sf_dir)
@@ -521,7 +521,7 @@ _SSSP_ITERS = 12
 )
 def graph_part_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source weighted shortest paths from the every-100th-part
-    seed set, edge length = co-order multiplicity, capped at {12}
+    seed set, edge length = co-order multiplicity, capped at 12
     relaxation rounds on both engines. The oracle carries the full
     distance vector per iteration (self-loops of length 0 keep every
     vertex's own distance in the min — one recursive reference); the
@@ -589,7 +589,7 @@ _HITS_ITERS = 15
     """,
 )
 def graph_part_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HITS hubs/authorities, {15} synchronous Jacobi rounds on the
+    """HITS hubs/authorities, 15 synchronous Jacobi rounds on the
     DIRECTED (low→high partkey) part graph — direction asymmetry gives
     hubs and authorities distinct structure — vs a recursive-CTE oracle
     running the identical simultaneous update with window-function L1

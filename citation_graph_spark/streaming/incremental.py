@@ -79,32 +79,16 @@ def resolve_edges(
 ) -> DataFrame:
     """Accumulated reference rows → (src, dst, weight) edge table.
 
-    Same resolution joins as extraction.build_edges, but from the
-    materialized reference table instead of an in-flight extraction —
-    the streaming path lands raw references so re-resolution is cheap
-    when the vertex universe itself grows (late-arriving files can
-    resolve previously-dangling references)."""
-    from citation_graph_spark.extraction import module_key_col
+    Delegates to extraction.resolve_refs — the SAME resolution joins
+    (and the same broadcast-threshold guard) as the batch
+    build_edges, but fed from the materialized reference table instead
+    of an in-flight extraction. The streaming path lands raw
+    references so re-resolution is cheap when the vertex universe
+    itself grows (late-arriving files can resolve previously-dangling
+    references)."""
+    from citation_graph_spark.extraction import resolve_refs
 
-    refs = spark.read.parquet(refs_dir)
-    v = vertices.select(
-        F.col("vid"),
-        F.col("path"),
-        module_key_col(F.col("path")).alias("module_key"),
-    )
-    src_side = F.broadcast(
-        v.select(F.col("vid").alias("src"), F.col("path").alias("src_path"))
-    )
-    dst_side = F.broadcast(
-        v.select(F.col("vid").alias("dst"), F.col("module_key").alias("ref_key"))
-    )
-    return (
-        refs.join(src_side, "src_path")
-        .join(dst_side, "ref_key")
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
-    )
+    return resolve_refs(spark.read.parquet(refs_dir), vertices)
 
 
 def refresh_pagerank(

@@ -62,7 +62,14 @@ def main() -> None:
         "bandwidth_bound_weak_efficiency": round(med8 / med2 / 4, 3),
     }
     os.makedirs(os.path.join(REPO, "bench_out"), exist_ok=True)
-    with open(os.path.join(REPO, "bench_out", "membw.json"), "w") as f:
+    # default target is membw_latest.json — bench_out/membw.json is the
+    # committed full-bandwidth BASELINE recording (cited by BASELINE.md)
+    # and must not be clobbered by drift re-measurements; pass an
+    # explicit filename to write elsewhere
+    import sys
+
+    name = sys.argv[1] if len(sys.argv) > 1 else "membw_latest.json"
+    with open(os.path.join(REPO, "bench_out", name), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
 
