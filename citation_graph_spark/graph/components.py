@@ -53,7 +53,10 @@ def connected_components(
     large/small-star variant when the undirected edge count exceeds
     ``star_threshold`` — min-label's O(diameter) rounds are the safe
     small-graph default, but at web scale a high-diameter graph would
-    crawl. ``True``/``False`` force the choice."""
+    crawl. ``True``/``False`` force the choice. The auto route is
+    suppressed when ``checkpoint_dir``/``resume`` are set: the star
+    variant carries no CheckpointManager, and the durable kill+resume
+    contract always wins over the round-count optimization."""
     with iterative_kernel_conf(edges.sparkSession):
         return _connected_components(
             edges, vertices, max_iter, num_partitions, checkpoint_dir,
@@ -83,7 +86,16 @@ def _connected_components(
 
     und0 = undirect(edges).persist()
     n_und = und0.count()
-    if star_contraction is None and n_und > star_threshold:
+    # auto star-contraction only when no durable-checkpoint contract is
+    # in play: _star_components has no CheckpointManager, so routing a
+    # checkpoint_dir/resume caller there would silently drop the
+    # kill+resume guarantee (and resume=True would restart from round 0)
+    if (
+        star_contraction is None
+        and n_und > star_threshold
+        and ckpt is None
+        and not resume
+    ):
         und0.unpersist()
         return _star_components(edges, vertices, max_iter, metrics_path)
     if num_partitions is None:

@@ -339,6 +339,14 @@ def _ppr(
     spark = edges.sparkSession
     metrics = MetricsLogger(metrics_path, "personalized_pagerank")
 
+    seed_set = seeds.select("vid").distinct()
+    n_seeds = seed_set.count()
+    if n_seeds == 0:
+        # no teleport targets: PPR is undefined; empty result, not a
+        # ZeroDivisionError — checked BEFORE any edge caching so
+        # nothing is left persisted
+        return spark.createDataFrame([], "vid long, score double")
+
     out_deg = edges.groupBy("src").agg(F.sum("weight").alias("_wout"))
     e0 = (
         edges.join(out_deg, "src")
@@ -358,13 +366,6 @@ def _ppr(
         .unionByName(seeds.select("vid"))
         .distinct()
     )
-    seed_set = seeds.select("vid").distinct()
-    n_seeds = seed_set.count()
-    if n_seeds == 0:
-        # no teleport targets: PPR is undefined; empty result, not a
-        # ZeroDivisionError from a data-dependent seed predicate
-        return spark.createDataFrame([], "vid long, score double")
-
     # teleport vector s(v): 1/|S| on seeds, 0 elsewhere, and the
     # dangling flag — both carried as state columns (the pagerank.py
     # pattern) so no per-round plan rebuilds anything

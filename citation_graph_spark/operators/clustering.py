@@ -35,9 +35,13 @@ from pyspark.sql import functions as F
 from citation_graph_spark.operators import register
 from citation_graph_spark.tables import load_tables
 
-_QUANT = (
+# THE milli-quantization expression — single source for every operator
+# that does exact-integer vector arithmetic (clustering metrics, DBSCAN,
+# embedding dedup): change the grid here and everywhere moves together
+QUANT_MILLI = (
     "transform(embedding, x -> cast(floor(cast(x as double) * 1000 + 0.5) as bigint))"
 )
+_QUANT = QUANT_MILLI
 
 # ---- shared DuckDB CTEs: quantize → label centroids → assignment ---------
 _ASSIGN_CTES = """
@@ -377,6 +381,8 @@ def kmeans_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ch = calinski_harabasz(q, assign).collect()[0]["ch_milli"]
         rows.append((k, int(ch)))
+    feat.unpersist()
+    q.unpersist()
     best_k = max(rows, key=lambda r: (r[1], -r[0]))[0]
     out = spark.createDataFrame(rows, "k long, ch_milli long")
     return out.withColumn("is_best", F.col("k") == F.lit(best_k)).orderBy("k")

@@ -55,12 +55,11 @@ def dbscan_assign(
     min_samples: int = _MIN_SAMPLES,
 ) -> DataFrame:
     """(vec_id, embedding) → (vec_id, cluster); cluster = -1 is noise."""
+    from citation_graph_spark.operators.clustering import QUANT_MILLI
+
     q = emb.select(
         "vec_id",
-        F.expr(
-            "transform(embedding, x -> cast(floor(cast(x as double) * 1000 + 0.5)"
-            " as bigint))"
-        ).alias("qv"),
+        F.expr(QUANT_MILLI).alias("qv"),
     ).withColumn("nrm", F.expr(_DOT.format(a="qv", b="qv")))
 
     a = q.select(

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from citation_graph_spark.operators import register
 from citation_graph_spark.tables import load_tables
+from citation_graph_spark.operators.clustering import QUANT_MILLI
 
 # ---- deterministic universal-hash constants (shared Spark/SQL) ----------
 _P = 2147483647  # 2^31 - 1 (Mersenne prime)
@@ -149,7 +150,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
     jac = F.col("c") / (F.col("sz1") + F.col("sz2") - F.col("c"))
-    return (
+    out = (
         inter.join(s1, "d1")
         .join(s2, "d2")
         .filter(jac >= 0.2)
@@ -158,7 +159,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d2",
             F.floor(jac * 1000000 + F.lit(0.5)).cast("long").alias("jaccard_micro"),
         )
+        .localCheckpoint(eager=True)  # materialize, then release shingles
     )
+    sh.unpersist()
+    return out
 
 
 def _minhash_exprs_sql(h: str) -> list[str]:
@@ -351,13 +355,16 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = sigs.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("sh1"))
     s2 = sigs.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("sh2"))
     hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
-    return (
+    out = (
         cand.join(s1, "d1")
         .join(s2, "d2")
         .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= _HAMMING_K)
         .select("d1", "d2", "hamming")
+        .localCheckpoint(eager=True)  # materialize, then release sigs
     )
+    sigs.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -453,10 +460,7 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.select(
         "vec_id",
         "label",
-        F.expr(
-            "transform(embedding, x -> cast(floor(cast(x as double) * 1000 + 0.5)"
-            " as bigint))"
-        ).alias("qv"),
+        F.expr(QUANT_MILLI).alias("qv"),
     )
     expl = q.select("label", F.posexplode("qv").alias("pos", "v"))
     cent = expl.groupBy(F.col("label").alias("cl"), "pos").agg(
@@ -515,10 +519,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir)["embeddings"]
     q = e.select(
         "vec_id",
-        F.expr(
-            "transform(embedding, x -> cast(floor(cast(x as double) * 1000 + 0.5)"
-            " as bigint))"
-        ).alias("qv"),
+        F.expr(QUANT_MILLI).alias("qv"),
     ).withColumn("nrm", F.expr(_DOT.format(a="qv", b="qv")))
     a = q.select(
         F.col("vec_id").alias("v1"), F.col("qv").alias("qa"), F.col("nrm").alias("na")

@@ -95,8 +95,10 @@ def pca_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # qv is milli (1e-3), eq is 1e-6 → dot is 1e-9 of original units;
     # x_milli = round(x * 1000) = floor(dot / 1e6 + 0.5)
-    return dots.select(
+    out = dots.select(
         "vec_id",
         F.floor(F.col("d1") / 1_000_000 + F.lit(0.5)).cast("long").alias("x_milli"),
         F.floor(F.col("d2") / 1_000_000 + F.lit(0.5)).cast("long").alias("y_milli"),
-    )
+    ).localCheckpoint(eager=True)  # materialize while vex is cached,
+    vex.unpersist()  # then release the pinned explode
+    return out

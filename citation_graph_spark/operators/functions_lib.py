@@ -51,6 +51,7 @@ def props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, prop_key,
              json_extract_string(props, '$.' || prop_key) AS val
       FROM kv
+      WHERE prop_key <> 'etype'
     ),
     pairs AS (
       SELECT event_type, prop_key, val FROM vals
@@ -72,8 +73,15 @@ def event_props_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``explode``d to (key, value) rows and aggregated. The non-numeric
     value sums null out via try_cast on both engines."""
     e = load_tables(spark, sf_dir)["events"]
+    # map_filter drops a JSON 'etype' key before the concat: a props
+    # object carrying that key would otherwise hit Spark's duplicate-
+    # map-key EXCEPTION policy (and the oracle's UNION ALL would emit
+    # both rows) — the constructed column wins by contract
     m = F.map_concat(
-        F.from_json("props", "map<string,string>"),
+        F.map_filter(
+            F.from_json("props", "map<string,string>"),
+            lambda k, _v: k != F.lit("etype"),
+        ),
         F.create_map(F.lit("etype"), F.col("event_type")),
     )
     kv = e.select("event_type", F.explode(m).alias("prop_key", "val"))

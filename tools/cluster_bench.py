@@ -264,7 +264,7 @@ def main() -> None:
         "repeats": REPEATS,
         "runs": runs,
         "median_scaling_efficiency": {
-            m: median_eff(m) for m in ("strong", "weak") if median_eff(m)
+            m: v for m in ("strong", "weak") if (v := median_eff(m))
         },
     }
     os.makedirs(os.path.join(REPO, "bench_out"), exist_ok=True)

@@ -26,13 +26,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def _worker(q, seconds: float) -> None:
     a = np.random.rand(64 * 1024 * 1024 // 8)  # 64 MB streamed per pass
-    t_end = time.monotonic() + seconds
+    t0 = time.monotonic()
+    t_end = t0 + seconds
     n = 0
     s = 0.0
     while time.monotonic() < t_end:
         s += float(a.sum())
         n += 1
-    q.put(n * 64 / seconds)  # MB/s for this process
+    elapsed = time.monotonic() - t0
+    # divide by MEASURED elapsed (the last pass overruns the nominal
+    # budget) — same estimator as bench.py's embedded probe
+    q.put(n * 64 / elapsed)  # MB/s for this process
 
 
 def run(p: int, seconds: float = 6.0) -> float:
