@@ -38,12 +38,18 @@ def label_propagation(
     max_iter: int = 10,
     num_partitions: int | None = None,
     metrics_path: str | None = None,
+    weighted: bool = False,
 ) -> DataFrame:
     """Returns ``(vid: long, label: long)`` after ``max_iter`` synchronous
-    rounds (or earlier fixpoint)."""
+    rounds (or earlier fixpoint).
+
+    ``weighted=True``: a neighbor's vote counts its edge weight instead
+    of 1 (weights cast to BIGINT — integer-exact sums keep the argmax
+    deterministic cross-engine; same desc-total, asc-label tie-break).
+    """
     with iterative_kernel_conf(edges.sparkSession):
         return _label_propagation(
-            edges, vertices, max_iter, num_partitions, metrics_path
+            edges, vertices, max_iter, num_partitions, metrics_path, weighted
         )
 
 
@@ -53,11 +59,23 @@ def _label_propagation(
     max_iter: int,
     num_partitions: int | None,
     metrics_path: str | None,
+    weighted: bool = False,
 ) -> DataFrame:
     spark = edges.sparkSession
     metrics = MetricsLogger(metrics_path, "label_propagation")
 
-    und0 = undirect(edges).persist()
+    if weighted:
+        fwd = edges.select(
+            "src", "dst", F.col("weight").cast("long").alias("w")
+        )
+        rev = edges.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            F.col("weight").cast("long").alias("w"),
+        )
+        und0 = fwd.unionByName(rev).persist()
+    else:
+        und0 = undirect(edges).persist()
     n_und = und0.count()
     if num_partitions is None:
         num_partitions = auto_partitions(spark, n_und)
@@ -76,10 +94,12 @@ def _label_propagation(
 
     for it in range(max_iter):
         t0 = time.monotonic()
-        msgs = und.join(labels, und["src"] == labels["vid"]).select(
-            F.col("dst"), F.col("label").alias("nbr_label")
+        msg_cols = [F.col("dst"), F.col("label").alias("nbr_label")] + (
+            [F.col("w")] if weighted else []
         )
-        counts = msgs.groupBy("dst", "nbr_label").agg(F.count(F.lit(1)).alias("n"))
+        msgs = und.join(labels, und["src"] == labels["vid"]).select(*msg_cols)
+        vote = F.sum("w") if weighted else F.count(F.lit(1))
+        counts = msgs.groupBy("dst", "nbr_label").agg(vote.alias("n"))
         w = Window.partitionBy("dst").orderBy(F.desc("n"), F.asc("nbr_label"))
         winner = (
             counts.withColumn("_rn", F.row_number().over(w))

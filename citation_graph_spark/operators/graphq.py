@@ -439,6 +439,90 @@ def graph_part_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+@register(
+    "graph_part_label_prop_weighted",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    wedges AS (
+      SELECT a.pk AS src, b.pk AS dst, count(*) AS w
+      FROM wb a JOIN wb b
+        ON a.okey = b.okey AND a.brand = b.brand AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+    ),
+    wsym AS (
+      SELECT src, dst, w FROM wedges
+      UNION ALL SELECT dst, src, w FROM wedges
+    ),
+    lab(it, v, l) AS (
+      SELECT 0, vid, vid FROM verts
+      UNION ALL
+      SELECT it, v, l FROM (
+        SELECT x.it + 1 AS it, x.dst AS v, x.nl AS l,
+               row_number() OVER (PARTITION BY x.it, x.dst
+                                  ORDER BY x.sw DESC, x.nl) AS rn
+        FROM (
+          SELECT lab.it, s.dst, lab.l AS nl, sum(s.w) AS sw
+          FROM lab JOIN wsym s ON lab.v = s.src
+          WHERE lab.it < {_LP_ITERS}
+          GROUP BY lab.it, s.dst, lab.l
+        ) x
+      ) WHERE rn = 1
+    )
+    SELECT v AS vid, l AS label FROM lab WHERE it = {_LP_ITERS}
+    """,
+)
+def graph_part_label_prop_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted label propagation: a neighbor's vote counts its
+    co-order multiplicity (integer-exact BIGINT sums, same
+    desc-total/asc-label tie-break), 5 synchronous rounds vs the
+    recursive-CTE oracle over the weighted symmetric closure. Weighted
+    parity across the kernel family: PageRank and SSSP already consume
+    weights; this completes LP."""
+    t = load_tables(spark, sf_dir)
+    items = t["lineitem"].select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    wb = items.join(
+        F.broadcast(t["part"].select("p_partkey", "p_brand")),
+        F.col("pk") == F.col("p_partkey"),
+    ).select("okey", "pk", F.col("p_brand").alias("brand"))
+    a = wb.select("okey", "brand", F.col("pk").alias("src"))
+    b = wb.select("okey", "brand", F.col("pk").alias("dst"))
+    wedges = (
+        a.join(b, ["okey", "brand"])
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    return label_propagation(wedges, max_iter=_LP_ITERS, weighted=True)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "graph_part_degree_histogram",
+    oracle=f"""
+    WITH {_GRAPH_CTE},
+    deg AS (SELECT src AS vid, count(*) AS d FROM sym GROUP BY src)
+    SELECT d AS degree, count(*) AS n_vertices
+    FROM deg GROUP BY d
+    """,
+)
+def graph_part_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution — the first profiling query run on any
+    link graph (power-law exponent eyeballing, skew planning for
+    salting thresholds). Two map-side-combined aggregates; output
+    cardinality = number of distinct degrees."""
+    edges = part_graph_edges(spark, sf_dir)
+    return (
+        undirect(edges)
+        .groupBy(F.col("src").alias("vid"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .groupBy(F.col("d").alias("degree"))
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
+# --------------------------------------------------------------------------
 _HARM_ITERS = 6
 
 

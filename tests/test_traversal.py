@@ -239,3 +239,48 @@ def test_bfs_per_source_matches_per_seed_oracle(spark):
         for v, d in bfs_oracle(n, el, [s], directed=False, max_iter=30).items():
             want[(s, v)] = d
     assert got == want
+
+
+def weighted_lp_oracle(n, edges, max_iter):
+    """Synchronous weighted LP: vote = summed edge weight, argmax with
+    min-label tie-break (matches label_propagation(weighted=True))."""
+    from collections import defaultdict
+
+    wadj: dict[int, dict[int, int]] = defaultdict(lambda: defaultdict(int))
+    for s, d, w in edges:
+        if s != d:
+            wadj[s][d] += int(w)
+            wadj[d][s] += int(w)
+    labels = list(range(n))
+    for _ in range(max_iter):
+        new = list(labels)
+        for v in range(n):
+            if v not in wadj:
+                continue
+            votes: dict[int, int] = defaultdict(int)
+            for u, w in wadj[v].items():
+                votes[labels[u]] += w
+            best = max(votes.values())
+            new[v] = min(l for l, c in votes.items() if c == best)
+        if new == labels:
+            break
+        labels = new
+    return labels
+
+
+def test_weighted_label_propagation_matches_oracle(spark):
+    from citation_graph_spark.graph import label_propagation
+
+    n = 120
+    rng = np.random.Generator(np.random.PCG64(31))
+    el = random_graph(n, 400, seed=31)
+    el = [(s, d, float(rng.integers(1, 6))) for s, d, _ in el]
+    got = (
+        label_propagation(
+            edges_df(spark, el), vertices_df(spark, n), max_iter=6, weighted=True
+        )
+        .orderBy("vid")
+        .toPandas()["label"]
+        .tolist()
+    )
+    assert got == weighted_lp_oracle(n, el, max_iter=6)
