@@ -96,6 +96,21 @@ def upsert_partitioned(
     df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """ORC scan, schema-pinned like every other reader. ORC is the
+    second columnar format a warehouse migration meets (Hive-era
+    tables); same pushdown/pruning properties as parquet through the
+    same DataSource V2 scan machinery."""
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, sort_cols: list[str] | None = None) -> None:
+    """ORC sink (optionally sorted for golden files)."""
+    if sort_cols:
+        df = df.orderBy(*sort_cols)
+    df.write.mode("overwrite").orc(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -105,3 +105,29 @@ def test_bucketed_tables_join_without_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bleft")
         spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    import io
+    import contextlib
+
+    df = spark.createDataFrame(
+        [(i, f"name{i}", float(i) * 1.5) for i in range(100)],
+        "id int, name string, score double",
+    )
+    out = str(tmp_path / "orc_out")
+    sources.write_orc(df, out, ["id"])
+    back = sources.read_orc(spark, out, "id int, name string, score double")
+    assert back.count() == 100
+    assert [tuple(r) for r in back.orderBy("id").limit(2).collect()] == [
+        (0, "name0", 0.0),
+        (1, "name1", 1.5),
+    ]
+    # filters reach the ORC scan just like parquet
+    q = back.filter(F.col("id") > 90).select("id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "id" in plan, plan
+    assert q.count() == 9
