@@ -44,10 +44,21 @@ def connected_components(
     metrics_path: str | None = None,
     star_contraction: bool | None = None,
     star_threshold: int = 10_000_000,
+    init_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Returns ``(vid: long, component: long)``; component = min vid in
     the component (deterministic, order-insensitive reducer — min —
     per SURVEY.md §7.2(c)).
+
+    ``init_labels`` — warm start for APPEND-ONLY graph growth (the
+    incremental-ingest model): a ``(vid, label)`` DataFrame from a
+    previous snapshot seeds the labels; vertices absent from it start
+    at their own vid. Min-label propagation is monotone, and under
+    pure growth every old label is the vid of a vertex still in the
+    (possibly merged) component, so the fixpoint is identical to a
+    cold run — just reached in O(merge-diameter) rounds instead of
+    O(full diameter). NOT valid if edges/vertices were REMOVED (stale
+    labels could be lower than any surviving member); rerun cold then.
 
     ``star_contraction=None`` (default) auto-enables the O(log² n)-round
     large/small-star variant when the undirected edge count exceeds
@@ -61,7 +72,7 @@ def connected_components(
         return _connected_components(
             edges, vertices, max_iter, num_partitions, checkpoint_dir,
             checkpoint_interval, resume, metrics_path, star_contraction,
-            star_threshold,
+            star_threshold, init_labels,
         )
 
 
@@ -76,6 +87,7 @@ def _connected_components(
     metrics_path: str | None,
     star_contraction: bool | None,
     star_threshold: int,
+    init_labels: DataFrame | None = None,
 ) -> DataFrame:
     if star_contraction:
         return _star_components(edges, vertices, max_iter, metrics_path)
@@ -95,6 +107,7 @@ def _connected_components(
         and n_und > star_threshold
         and ckpt is None
         and not resume
+        and init_labels is None
     ):
         und0.unpersist()
         return _star_components(edges, vertices, max_iter, metrics_path)
@@ -117,11 +130,23 @@ def _connected_components(
             start_iter = manifest["iteration"]
             labels = labels.repartition(num_partitions, "vid").localCheckpoint(eager=True)
     if labels is None:
-        labels = (
-            vertices.select("vid", F.col("vid").alias("label"))
-            .repartition(num_partitions, "vid")
-            .localCheckpoint(eager=True)
-        )
+        if init_labels is not None:
+            labels = (
+                vertices.join(
+                    init_labels.select("vid", F.col("label").alias("_seed")),
+                    "vid",
+                    "left",
+                )
+                .select("vid", F.coalesce("_seed", F.col("vid")).alias("label"))
+                .repartition(num_partitions, "vid")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            labels = (
+                vertices.select("vid", F.col("vid").alias("label"))
+                .repartition(num_partitions, "vid")
+                .localCheckpoint(eager=True)
+            )
 
     for it in range(start_iter, max_iter):
         t0 = time.monotonic()

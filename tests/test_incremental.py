@@ -99,3 +99,45 @@ def test_stream_ingest_matches_batch_and_warm_start(spark, tmp_path):
 
     it_cold, it_warm = _iters(m_cold), _iters(m_warm)
     assert it_warm < it_cold, (it_warm, it_cold)
+
+
+def test_components_warm_start_append_only(spark, tmp_path):
+    """Append-only growth: warm-started CC == cold CC (exact), in
+    strictly fewer rounds — including a component MERGE via new
+    edges and brand-new vertices."""
+    from citation_graph_spark.graph import connected_components
+    from tests.conftest import edges_df, vertices_df
+
+    # snapshot 1: two long chains (high diameter → many cold rounds)
+    chain1 = [(i, i + 1, 1.0) for i in range(0, 19)]
+    chain2 = [(i, i + 1, 1.0) for i in range(20, 39)]
+    e1 = edges_df(spark, chain1 + chain2)
+    v1 = vertices_df(spark, 40)
+    labels1 = connected_components(e1, v1)
+
+    # snapshot 2: a bridge merges the chains; a new chain of fresh
+    # vertices attaches at the end
+    growth = [(19, 20, 1.0)] + [(i, i + 1, 1.0) for i in range(39, 45)]
+    e2 = edges_df(spark, chain1 + chain2 + growth)
+    v2 = vertices_df(spark, 46)
+
+    def rounds(path):
+        import json as _json
+
+        with open(path) as f:
+            return max(_json.loads(ln)["iteration"] for ln in f)
+
+    m_cold = str(tmp_path / "cc_cold.jsonl")
+    m_warm = str(tmp_path / "cc_warm.jsonl")
+    cold = connected_components(e2, v2, metrics_path=m_cold)
+    warm = connected_components(
+        e2,
+        v2,
+        metrics_path=m_warm,
+        init_labels=labels1.selectExpr("vid", "component as label"),
+    )
+    c = {r["vid"]: r["component"] for r in cold.collect()}
+    w = {r["vid"]: r["component"] for r in warm.collect()}
+    assert c == w
+    assert set(c.values()) == {0}  # everything merged into one component
+    assert rounds(m_warm) < rounds(m_cold), (rounds(m_warm), rounds(m_cold))
