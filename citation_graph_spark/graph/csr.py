@@ -45,9 +45,12 @@ def csr_contribution_sums(edges_n: DataFrame, ranks: DataFrame) -> DataFrame:
     Returns (dst, s) — partial sums already combined per partition.
 
     The rank vector joins the edge partitions (co-partitioned, no
-    exchange); each Arrow batch then becomes a CSR block:
-      sort by src → indptr via np.searchsorted → per-edge contribution
-      rank[src]·wnorm → np.add.at over a dense dst-local accumulator.
+    exchange); each Arrow batch is then reduced in numpy: per-edge
+    contribution rank[src]·wnorm, locally combined to one partial per
+    distinct dst via ``np.unique`` + ``np.add.at`` (order-independent,
+    so the block needs no sort and no materialized indptr — the
+    "CSR block" here is the dense dst-indexed accumulator, the part
+    of the CSR idea that actually pays at this payload size).
     """
 
     joined = edges_n.join(ranks, edges_n["src"] == ranks["vid"]).select(
@@ -56,13 +59,15 @@ def csr_contribution_sums(edges_n: DataFrame, ranks: DataFrame) -> DataFrame:
 
     def _blocks(batches):
         # runs inside the existing src-partitioning — NO extra shuffle;
-        # each Arrow batch becomes one CSR block
+        # each Arrow batch is one adjacency block. np.unique + add.at is
+        # order-independent, so no sort of the batch is needed (a
+        # stable src-argsort used to run here — dead O(n log n) work
+        # per block per round)
         for pdf in batches:
             if pdf.empty:
                 continue
-            order = np.argsort(pdf["src"].to_numpy(), kind="stable")
-            dst = pdf["dst"].to_numpy()[order]
-            contrib = (pdf["rank"].to_numpy() * pdf["wnorm"].to_numpy())[order]
+            dst = pdf["dst"].to_numpy()
+            contrib = pdf["rank"].to_numpy() * pdf["wnorm"].to_numpy()
             # local combine: one partial per distinct dst in this block
             uniq_dst, inv = np.unique(dst, return_inverse=True)
             acc = np.zeros(len(uniq_dst))
@@ -109,6 +114,7 @@ def pagerank_csr(
 
     n = vertices.count()
     if n == 0:
+        edges_n.unpersist()
         return spark.createDataFrame([], "vid long, score double")
 
     dangling = vertices.join(

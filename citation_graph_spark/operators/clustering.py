@@ -43,6 +43,13 @@ QUANT_MILLI = (
 )
 _QUANT = QUANT_MILLI
 
+# ...and the exact-integer dot product over two quantized columns —
+# same single-source rule
+DOT_BIGINT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as bigint), "
+    "(acc, v) -> acc + v)"
+)
+
 # ---- shared DuckDB CTEs: quantize → label centroids → assignment ---------
 _ASSIGN_CTES = """
     q AS (

@@ -34,12 +34,11 @@ from pyspark.sql import functions as F
 
 from citation_graph_spark.graph import connected_components
 from citation_graph_spark.operators import register
-from citation_graph_spark.tables import load_tables
-
-_DOT = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as bigint), "
-    "(acc, v) -> acc + v)"
+from citation_graph_spark.operators.clustering import (
+    DOT_BIGINT as _DOT,
+    QUANT_MILLI,
 )
+from citation_graph_spark.tables import load_tables
 
 # eps² in milli-quantized units; min_samples counts the point itself.
 # Chosen on the synthetic embeddings so the density structure is real:
@@ -55,8 +54,6 @@ def dbscan_assign(
     min_samples: int = _MIN_SAMPLES,
 ) -> DataFrame:
     """(vec_id, embedding) → (vec_id, cluster); cluster = -1 is noise."""
-    from citation_graph_spark.operators.clustering import QUANT_MILLI
-
     q = emb.select(
         "vec_id",
         F.expr(QUANT_MILLI).alias("qv"),

@@ -35,7 +35,10 @@ from pyspark.sql import functions as F
 
 from citation_graph_spark.operators import register
 from citation_graph_spark.tables import load_tables
-from citation_graph_spark.operators.clustering import QUANT_MILLI
+from citation_graph_spark.operators.clustering import (
+    DOT_BIGINT as _DOT,
+    QUANT_MILLI,
+)
 
 # ---- deterministic universal-hash constants (shared Spark/SQL) ----------
 _P = 2147483647  # 2^31 - 1 (Mersenne prime)
@@ -389,10 +392,7 @@ def _embedding_pairs_oracle(threshold: float) -> str:
 # pairs — the "near-duplicate" band for this corpus
 _EMB_THRESHOLD = 0.25
 
-_DOT = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as bigint), "
-    "(acc, v) -> acc + v)"
-)
+
 
 
 # --------------------------------------------------------------------------

@@ -600,8 +600,10 @@ def normalized_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-alpha, collapse/remove spaces, lower, truncate 30) as a pure
     column expression feeding a group key — exactly how the reference
     uses it as a merge key (combine_serp.py:239-245)."""
+    from citation_graph_spark.functions import normalize_title
+
     p = load_tables(spark, sf_dir)["part"]
-    nkey = F.lower(F.substring(F.regexp_replace("p_name", "[^A-Za-z]", ""), 1, 30))
+    nkey = normalize_title(F.col("p_name"))
     grouped = p.groupBy(nkey.alias("nkey")).agg(F.count(F.lit(1)).alias("n"))
     w = Window.orderBy(F.desc("n"), F.asc("nkey"))
     return (
@@ -622,10 +624,10 @@ def normalized_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_uid_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sha-fallback uid (reference F2 generate_unique_id,
     utils.py:56-73: sha256(name)[:8])."""
+    from citation_graph_spark.functions import generate_uid
+
     c = load_tables(spark, sf_dir)["customer"]
-    return c.select(
-        "c_custkey", F.substring(F.sha2(F.col("c_name"), 256), 1, 8).alias("uid")
-    )
+    return c.select("c_custkey", generate_uid(F.col("c_name")).alias("uid"))
 
 
 # --------------------------------------------------------------------------

@@ -22,12 +22,9 @@ from pyspark.sql import functions as F
 from citation_graph_spark.operators import register
 from citation_graph_spark.tables import load_tables
 
-_QUANT = (
-    "transform(embedding, x -> cast(floor(cast(x as double) * 1000 + 0.5) as bigint))"
-)
-_DOT = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as bigint), "
-    "(acc, v) -> acc + v)"
+from citation_graph_spark.operators.clustering import (
+    DOT_BIGINT as _DOT,
+    QUANT_MILLI as _QUANT,
 )
 _N_QUERIES = 10
 _TOP_K = 5

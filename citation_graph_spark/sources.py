@@ -92,8 +92,15 @@ def upsert_partitioned(
     replaced, the rest of the table is untouched. Re-running a batch is
     a no-op (the MERGE property)."""
     spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        # restore: leaving 'dynamic' session-wide would silently change
+        # every later partitioned overwrite from truncate-table to
+        # keep-unmatched-partitions semantics
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def read_orc(spark: SparkSession, path: str, schema: str) -> DataFrame:

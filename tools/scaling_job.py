@@ -26,6 +26,11 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(parts))
         .config("spark.default.parallelism", str(parts))
         .config("spark.sql.adaptive.enabled", "true")
+        # coalescing off, matching session.py and cluster_bench: AQE's
+        # 64MB post-shuffle byte target throttles the Arrow/Python
+        # extraction stage (measured 2.9x) and would cap both scaling
+        # legs toward the same parallelism, understating the series
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # split the corpus scan at row-group granularity: the Arrow
         # extraction stage then parallelizes off the files directly —
