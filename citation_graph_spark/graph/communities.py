@@ -65,13 +65,30 @@ def _label_propagation(
     metrics = MetricsLogger(metrics_path, "label_propagation")
 
     if weighted:
-        fwd = edges.select(
-            "src", "dst", F.col("weight").cast("long").alias("w")
+        # Votes are summed in BIGINT for cross-engine-exact argmax, so
+        # weights must be integral — a silent cast would truncate 0.7
+        # to 0 and the vote would vanish. raise_error inside the same
+        # projection fails the scan loudly on the first fractional or
+        # NULL weight (no extra validation pass over the edges).
+        w_ok = F.col("weight").isNotNull() & (
+            F.col("weight") == F.floor(F.col("weight"))
         )
+        w_int = F.when(w_ok, F.col("weight").cast("long")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "weighted label_propagation requires integral "
+                        "non-null edge weights, got: "
+                    ),
+                    F.col("weight").cast("string"),
+                )
+            ).cast("long")
+        )
+        fwd = edges.select("src", "dst", w_int.alias("w"))
         rev = edges.select(
             F.col("dst").alias("src"),
             F.col("src").alias("dst"),
-            F.col("weight").cast("long").alias("w"),
+            w_int.alias("w"),
         )
         und0 = fwd.unionByName(rev).persist()
     else:

@@ -90,6 +90,27 @@ def _connected_components(
     init_labels: DataFrame | None = None,
 ) -> DataFrame:
     if star_contraction:
+        # _star_components supports none of the warm-start / durable-
+        # checkpoint contract; routing those callers there silently
+        # would drop the kill+resume guarantee (the auto path below
+        # already guards this — the forced path must too)
+        conflicts = [
+            name
+            for name, val in (
+                ("init_labels", init_labels is not None),
+                ("checkpoint_dir", checkpoint_dir is not None),
+                ("resume", resume),
+            )
+            if val
+        ]
+        if conflicts:
+            raise ValueError(
+                "star_contraction=True is incompatible with "
+                + "/".join(conflicts)
+                + ": the star-contraction kernel has no checkpoint or "
+                "warm-start support; use star_contraction=None (auto) "
+                "or False"
+            )
         return _star_components(edges, vertices, max_iter, metrics_path)
 
     spark = edges.sparkSession

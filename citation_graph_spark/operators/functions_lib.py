@@ -76,10 +76,17 @@ def event_props_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map_filter drops a JSON 'etype' key before the concat: a props
     # object carrying that key would otherwise hit Spark's duplicate-
     # map-key EXCEPTION policy (and the oracle's UNION ALL would emit
-    # both rows) — the constructed column wins by contract
+    # both rows) — the constructed column wins by contract.
+    # NULL/malformed props parse to NULL; without the coalesce,
+    # map_concat(NULL, map) is NULL and explode would drop the whole
+    # row — including the constructed 'etype' entry the oracle's
+    # UNION ALL branch still emits for every event.
     m = F.map_concat(
         F.map_filter(
-            F.from_json("props", "map<string,string>"),
+            F.coalesce(
+                F.from_json("props", "map<string,string>"),
+                F.expr("map()").cast("map<string,string>"),
+            ),
             lambda k, _v: k != F.lit("etype"),
         ),
         F.create_map(F.lit("etype"), F.col("event_type")),

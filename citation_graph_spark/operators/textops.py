@@ -225,9 +225,10 @@ def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "token_histogram",
     oracle=r"""
-    SELECT (len(string_split_regex(trim(text), '\s+')) // 10) * 10 AS bucket,
+    SELECT (len(string_split_regex(trim(coalesce(text, '')), '\s+')) // 10) * 10
+             AS bucket,
            count(*) AS n_docs,
-           cast(sum(length(text)) AS BIGINT) AS chars
+           cast(sum(length(coalesce(text, ''))) AS BIGINT) AS chars
     FROM documents
     GROUP BY 1
     """,
@@ -240,12 +241,15 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch-free distribution summary at 100 TB (one map-side-combined
     aggregate, cardinality = number of buckets)."""
     d = load_tables(spark, sf_dir)["documents"]
+    # coalesce first: size(split(NULL)) is -1 in Spark (bucket -10)
+    # while the oracle would emit a NULL bucket — same null discipline
+    # as docs_without_boilerplate
     return (
         d.select(
             F.expr(
-                "(size(split(trim(text), '\\\\s+')) div 10) * 10"
+                "(size(split(trim(coalesce(text, '')), '\\\\s+')) div 10) * 10"
             ).alias("bucket"),
-            F.length("text").alias("nc"),
+            F.length(F.coalesce(F.col("text"), F.lit(""))).alias("nc"),
         )
         .groupBy("bucket")
         .agg(

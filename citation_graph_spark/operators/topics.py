@@ -86,16 +86,38 @@ def doc_topics_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NMF_R = 4
 _NMF_ITERS = 8
 _NMF_EPS = 1e-9
+_NMF_VOCAB = 2048  # top-V terms by document frequency (df desc, term asc)
 _H_MOD = 1_000_003
 
 
 def _hash01(a: int, b: int) -> float:
-    """Deterministic (0.5, 1.5] init value — identical in numpy replay."""
-    return ((a * 2654435761 + b * 40503) % _H_MOD) / _H_MOD + 0.5
+    """Deterministic (0.5, 1.5] init value — identical in numpy replay.
+
+    ``a`` is reduced mod _H_MOD before the multiply so the Spark-side
+    LongType mirror of this expression cannot overflow int64 for
+    doc_id ≳ 3.5e9 ((a%M)·(c%M) ≤ (1e6)·(4.3e5) ≪ 2^63); the value is
+    unchanged — (a·c) mod M ≡ ((a mod M)·(c mod M)) mod M."""
+    return (
+        ((a % _H_MOD) * (2654435761 % _H_MOD) + b * 40503) % _H_MOD
+    ) / _H_MOD + 0.5
 
 
-def nmf_factorize(docs: DataFrame, r: int = _NMF_R, iters: int = _NMF_ITERS):
-    """Returns (w_df(doc_id, k, w), vocab list) after ``iters`` updates."""
+def nmf_factorize(
+    docs: DataFrame,
+    r: int = _NMF_R,
+    iters: int = _NMF_ITERS,
+    vocab_size: int = _NMF_VOCAB,
+):
+    """Returns (w_df(doc_id, k, w), vocab list) after ``iters`` updates.
+
+    The vocabulary is CAPPED to the ``vocab_size`` terms with highest
+    document frequency (tie-break: term asc) — the rank is a
+    distributed count + orderBy/limit, so the driver only ever holds V
+    terms and the per-iteration r×V factor, never the unbounded corpus
+    vocabulary (mirrors MLlib CountVectorizer's ``vocabSize``). Tokens
+    outside the cap are dropped from V; a document whose every token is
+    out-of-vocab drops out of the factorization entirely (same rule in
+    the numpy replay, tests/test_topics.py)."""
     import numpy as np
 
     spark = docs.sparkSession
@@ -106,8 +128,17 @@ def nmf_factorize(docs: DataFrame, r: int = _NMF_R, iters: int = _NMF_ITERS):
     counts = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("double").alias("x")
     )
-    # deterministic dense term ids: alphabetical rank (matches numpy replay)
-    vocab = [r_["term"] for r_ in counts.select("term").distinct().orderBy("term").collect()]
+    # top-V terms by document frequency — distributed agg, bounded
+    # collect; dense ids stay the alphabetical rank WITHIN the capped
+    # vocab (matches numpy replay)
+    top_terms = (
+        counts.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(vocab_size)
+        .collect()
+    )
+    vocab = sorted(r_["term"] for r_ in top_terms)
     term_id = spark.createDataFrame(
         [(t, j) for j, t in enumerate(vocab)], "term string, j int"
     )
@@ -127,8 +158,19 @@ def nmf_factorize(docs: DataFrame, r: int = _NMF_R, iters: int = _NMF_ITERS):
         .select(
             "doc_id",
             "k",
+            # mod-reduce doc_id BEFORE the multiply — keeps every
+            # intermediate ≪ 2^63 (same reduction in _hash01, which the
+            # numpy replay uses; values are identical by modular
+            # arithmetic, only the overflow at doc_id ≳ 3.5e9 goes away)
             (
-                ((F.col("doc_id") * 2654435761 + F.col("k") * 40503) % _H_MOD)
+                (
+                    (
+                        F.pmod(F.col("doc_id"), F.lit(_H_MOD))
+                        * F.lit(2654435761 % _H_MOD)
+                        + F.col("k") * 40503
+                    )
+                    % _H_MOD
+                )
                 / _H_MOD
                 + 0.5
             ).alias("w"),

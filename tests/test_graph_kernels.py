@@ -148,3 +148,31 @@ def test_star_graph_no_triangles(spark):
     n, el = MICRO_GRAPHS["star_k15"]
     got = triangle_counts(edges_df(spark, el), vertices_df(spark, n)).toPandas()
     assert got["n_triangles"].sum() == 0
+
+
+def test_weighted_lp_rejects_fractional_weights(spark):
+    """Integer-exact vote sums require integral weights; a fractional
+    weight must fail loudly instead of silently truncating (0.7 → 0
+    would erase the vote)."""
+    edges = edges_df(spark, [(0, 1, 0.7), (1, 2, 1.0)])
+    with pytest.raises(Exception, match="integral"):
+        label_propagation(
+            edges, vertices_df(spark, 3), max_iter=2, weighted=True
+        ).collect()
+
+
+def test_forced_star_contraction_rejects_checkpoint_contract(spark):
+    """star_contraction=True has no warm-start/checkpoint support —
+    combining them must raise, not silently run cold/non-resumable."""
+    edges = edges_df(spark, [(0, 1), (1, 2)])
+    verts = vertices_df(spark, 3)
+    init = verts.withColumn("label", verts["vid"])
+    with pytest.raises(ValueError, match="star_contraction"):
+        connected_components(
+            edges, verts, star_contraction=True, init_labels=init
+        )
+    with pytest.raises(ValueError, match="star_contraction"):
+        connected_components(
+            edges, verts, star_contraction=True, resume=True,
+            checkpoint_dir="/tmp/cgs-test-star-ckpt",
+        )

@@ -40,20 +40,34 @@ def test_doc_topics_deterministic_and_total(spark):
     assert all(w >= 200000 for _, w in a.values())
 
 
-def np_nmf(docs_pdf, r, iters):
-    """Pure-numpy replay of nmf_factorize: same init, same updates."""
+def np_nmf(docs_pdf, r, iters, vocab_size=None):
+    """Pure-numpy replay of nmf_factorize: same init, same updates,
+    same top-V-by-document-frequency vocabulary cap."""
     import re
 
     import numpy as np
 
-    from citation_graph_spark.operators.topics import _NMF_EPS, _hash01
+    from citation_graph_spark.operators.topics import (
+        _NMF_EPS,
+        _NMF_VOCAB,
+        _hash01,
+    )
 
+    if vocab_size is None:
+        vocab_size = _NMF_VOCAB
     tok_counts = {}
     for _, row in docs_pdf.iterrows():
         for t in re.split(r"\s+", row["text"].strip().lower()):
             tok_counts[(row["doc_id"], t)] = tok_counts.get((row["doc_id"], t), 0) + 1
-    vocab = sorted({t for _, t in tok_counts})
+    df = {}
+    for _, t in tok_counts:
+        df[t] = df.get(t, 0) + 1
+    kept = sorted(df, key=lambda t: (-df[t], t))[:vocab_size]
+    vocab = sorted(kept)
     jmap = {t: j for j, t in enumerate(vocab)}
+    tok_counts = {
+        (d, t): c for (d, t), c in tok_counts.items() if t in jmap
+    }
     doc_ids = sorted({d for d, _ in tok_counts})
     imap = {d: i for i, d in enumerate(doc_ids)}
     V = np.zeros((len(doc_ids), len(vocab)))
@@ -99,3 +113,37 @@ def test_doc_topics_nmf_matches_numpy_replay(spark):
             assert gap < 1e-6 * max(want_w, 1.0), (d, topic, want_topic, gap)
             mismatches += 1
     assert mismatches <= max(2, len(doc_ids) // 100)
+
+
+def test_nmf_vocab_cap_matches_numpy_replay(spark):
+    """A vocab_size small enough to actually truncate this corpus must
+    still replay exactly: same top-V-by-df selection, same alphabetical
+    dense ids within the cap, same updates."""
+    import numpy as np
+    import pandas as pd
+
+    from citation_graph_spark.operators.topics import nmf_factorize
+    from citation_graph_spark.tables import load_tables
+
+    docs_pdf = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    # replay first to size the cap so it genuinely truncates
+    full_vocab = {
+        t
+        for _, row in docs_pdf.iterrows()
+        for t in row["text"].strip().lower().split()
+    }
+    v_cap = max(4, len(full_vocab) // 3)
+    assert v_cap < len(full_vocab), "fixture vocab too small to exercise cap"
+
+    doc_ids, W = np_nmf(docs_pdf, 3, 4, vocab_size=v_cap)
+    docs = load_tables(spark, SF_DIR)["documents"]
+    w_df, vocab = nmf_factorize(docs, r=3, iters=4, vocab_size=v_cap)
+    assert len(vocab) == v_cap
+    got = {}
+    for r_ in w_df.collect():
+        got.setdefault(r_["doc_id"], {})[r_["k"]] = r_["w"]
+    assert set(got) == set(doc_ids), "OOV-doc drop rule diverged"
+    for i, d in enumerate(doc_ids):
+        for k in range(3):
+            # reduction-order noise only (same math, different sum order)
+            assert abs(got[d][k] - W[i, k]) <= 1e-6 * max(abs(W[i, k]), 1.0)
