@@ -18,13 +18,15 @@ distributed pieces — an ε-neighborhood join, a degree aggregate, and
    order-insensitive determinization, per SURVEY §7.2(c));
 5. everything else is noise, cluster = -1.
 
-The ε-join here is the all-pairs correctness baseline (the gate-scale
-embeddings table is 500 vectors); the sub-quadratic scale path is the
-same IVF bucket candidate generation used by dedup_embedding_ivf —
-candidates from shared inverted lists, exact integer dist² verify.
-Steps 2-5 are all linear joins/aggs over the pair table and the
-O(diameter) component rounds, so at 100 TB the candidate generator is
-the only piece that changes.
+The ε-join is PLUGGABLE: ``candidates`` picks the pair source — the
+all-pairs crossJoin correctness baseline, the IVF shared-inverted-list
+candidate generator proven by dedup_embedding_ivf (exact integer dist²
+verify keeps precision at 1.0; blocking only costs recall), any
+caller-supplied (v1, v2) blocking DataFrame, or ``"auto"`` (the
+default: all-pairs below ``auto_threshold`` rows, IVF above). Steps
+2-5 are all linear joins/aggs over the pair table and the O(diameter)
+component rounds, so at 100 TB the candidate generator is the only
+piece that changes — and it now actually does.
 """
 
 from __future__ import annotations
@@ -47,13 +49,35 @@ from citation_graph_spark.tables import load_tables
 _EPS2 = 1_350_000
 _MIN_SAMPLES = 4
 
+# above this many vectors, "auto" swaps the all-pairs ε-join for IVF
+# bucketed candidates (the crossJoin is quadratic; IVF is the scale
+# path with a measured recall trade, tests/test_dbscan.py)
+_AUTO_ALLPAIRS_MAX = 100_000
 
-def dbscan_assign(
+# probes for the ε-graph blocking: the ε radius spans several coarse
+# cells (unlike the near-identical cosine band dedup probes with
+# nprobe=2), so the density queries probe 4 lists — measured recall on
+# the exact ε-graph: 0.64 @ nprobe=2 → 0.98 @ nprobe=4 at both fixture
+# scales; still sub-quadratic (nprobe²·n²/k with k grown ~√n)
+_IVF_NPROBE_EPS = 4
+
+
+def eps_pairs(
     emb: DataFrame,
     eps2: int = _EPS2,
-    min_samples: int = _MIN_SAMPLES,
+    candidates: DataFrame | str = "auto",
+    auto_threshold: int = _AUTO_ALLPAIRS_MAX,
+    nprobe: int = _IVF_NPROBE_EPS,
 ) -> DataFrame:
-    """(vec_id, embedding) → (vec_id, cluster); cluster = -1 is noise."""
+    """Symmetric ε-neighborhood pairs (v1, v2), dist²(v1,v2) ≤ eps².
+
+    ``candidates``: ``"all_pairs"`` (exact crossJoin baseline —
+    quadratic, correctness only), ``"ivf"`` (shared-inverted-list
+    blocking from dedup.ivf_candidate_pairs; needs a ``label`` column
+    to seed the coarse quantizer), ``"auto"`` (all_pairs below
+    ``auto_threshold`` rows, ivf above), or a DataFrame of unordered
+    candidate pairs (v1, v2) from any blocking scheme. Every candidate
+    is exact-integer verified, so a blocked source only trades recall."""
     q = emb.select(
         "vec_id",
         F.expr(QUANT_MILLI).alias("qv"),
@@ -66,14 +90,53 @@ def dbscan_assign(
         F.col("vec_id").alias("v2"), F.col("qv").alias("qb"), F.col("nrm").alias("nb")
     )
     dist2 = F.col("na") + F.col("nb") - 2 * F.expr(_DOT.format(a="qa", b="qb"))
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("v1") != F.col("v2"))
-        .withColumn("dist2", dist2)
-        .filter(F.col("dist2") <= eps2)
-        .select("v1", "v2")
-        .persist()
+
+    if isinstance(candidates, str):
+        if candidates == "auto":
+            candidates = "all_pairs" if emb.count() <= auto_threshold else "ivf"
+        if candidates == "all_pairs":
+            return (
+                a.crossJoin(b)
+                .filter(F.col("v1") != F.col("v2"))
+                .filter(dist2 <= eps2)
+                .select("v1", "v2")
+            )
+        if candidates == "ivf":
+            from citation_graph_spark.operators.dedup import ivf_candidate_pairs
+
+            candidates = ivf_candidate_pairs(
+                emb.select("vec_id", "label", F.expr(QUANT_MILLI).alias("qv")),
+                nprobe,
+            )
+        else:
+            raise ValueError(f"unknown candidates mode: {candidates!r}")
+
+    # unordered candidate pairs → symmetric closure → exact verify
+    sym = candidates.select("v1", "v2").unionByName(
+        candidates.select(F.col("v2").alias("v1"), F.col("v1").alias("v2"))
     )
+    return (
+        sym.join(a, "v1")
+        .join(b, "v2")
+        .filter(dist2 <= eps2)
+        .select("v1", "v2")
+    )
+
+
+def dbscan_assign(
+    emb: DataFrame,
+    eps2: int = _EPS2,
+    min_samples: int = _MIN_SAMPLES,
+    candidates: DataFrame | str = "auto",
+    auto_threshold: int = _AUTO_ALLPAIRS_MAX,
+    nprobe: int = _IVF_NPROBE_EPS,
+) -> DataFrame:
+    """(vec_id, embedding) → (vec_id, cluster); cluster = -1 is noise."""
+    q = emb.select(
+        "vec_id",
+        F.expr(QUANT_MILLI).alias("qv"),
+    )
+    pairs = eps_pairs(emb, eps2, candidates, auto_threshold, nprobe).persist()
 
     deg = pairs.groupBy("v1").agg(F.count(F.lit(1)).alias("nbrs"))
     core = (
@@ -125,25 +188,15 @@ def dbscan_assign(
     return out
 
 
-@register(
-    "dbscan_embedding",
-    oracle=f"""
-    WITH RECURSIVE q AS (
-      SELECT vec_id,
-             list_transform(embedding,
-               x -> cast(floor(cast(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
-      FROM embeddings
-    ),
-    n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM q),
-    pairs AS (
-      SELECT a.vec_id AS v1, b.vec_id AS v2
-      FROM n a JOIN n b ON a.vec_id <> b.vec_id
-      WHERE a.nrm + b.nrm - 2 * list_dot_product(a.qv, b.qv) <= {_EPS2}
-    ),
+# ---- shared DuckDB CTE text: the DBSCAN steps over a ``pairs`` ε-pair
+# CTE and an ``n(vec_id, qv, nrm)`` CTE — ONE spec for the all-pairs and
+# every blocked variant (only the candidate CTEs upstream differ)
+def _dbscan_steps_sql(min_samples: int) -> str:
+    return f"""
     deg AS (SELECT v1, count(*) AS nbrs FROM pairs GROUP BY v1),
     core AS (
       SELECT n.vec_id FROM n LEFT JOIN deg ON n.vec_id = deg.v1
-      WHERE coalesce(deg.nbrs, 0) + 1 >= {_MIN_SAMPLES}
+      WHERE coalesce(deg.nbrs, 0) + 1 >= {min_samples}
     ),
     ce AS (
       SELECT p.v1, p.v2 FROM pairs p
@@ -169,6 +222,25 @@ def dbscan_assign(
     UNION ALL
     SELECT vec_id, cast(-1 AS BIGINT) AS cluster FROM n
     WHERE vec_id NOT IN (SELECT vec_id FROM assigned)
+    """
+
+
+@register(
+    "dbscan_embedding",
+    oracle=f"""
+    WITH RECURSIVE q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> cast(floor(cast(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM q),
+    pairs AS (
+      SELECT a.vec_id AS v1, b.vec_id AS v2
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id
+      WHERE a.nrm + b.nrm - 2 * list_dot_product(a.qv, b.qv) <= {_EPS2}
+    ),
+    {_dbscan_steps_sql(_MIN_SAMPLES)}
     """,
 )
 def dbscan_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,3 +285,57 @@ def single_linkage_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (COVERAGE.md)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     return dbscan_assign(emb, min_samples=1)
+
+
+# ---- blocked (sub-quadratic) variants: same DBSCAN spec, IVF candidates
+def _ivf_q_cte() -> str:
+    return """q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> cast(floor(cast(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    )"""
+
+
+def _ivf_eps_oracle(eps2: int, min_samples: int) -> str:
+    from citation_graph_spark.operators.dedup import ivf_cand_ctes
+
+    return f"""
+    WITH RECURSIVE {_ivf_q_cte()},
+    {ivf_cand_ctes(_IVF_NPROBE_EPS)},
+    n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM q),
+    sym AS (
+      SELECT v1, v2 FROM cand
+      UNION ALL
+      SELECT v2 AS v1, v1 AS v2 FROM cand
+    ),
+    pairs AS (
+      SELECT s.v1, s.v2
+      FROM sym s JOIN n a ON s.v1 = a.vec_id JOIN n b ON s.v2 = b.vec_id
+      WHERE a.nrm + b.nrm - 2 * list_dot_product(a.qv, b.qv) <= {eps2}
+    ),
+    {_dbscan_steps_sql(min_samples)}
+    """
+
+
+@register("dbscan_embedding_ivf", oracle=_ivf_eps_oracle(_EPS2, _MIN_SAMPLES))
+def dbscan_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the IVF-blocked ε-graph — the 100 TB path for what
+    ``dbscan_embedding`` proves by brute force: candidate pairs from
+    shared inverted lists (dedup.ivf_candidate_pairs — the generator
+    already gate-proven by dedup_embedding_ivf), exact integer dist²
+    verify, then the identical core/component/border/noise steps. The
+    DuckDB oracle replays the same blocking, so this row checks the
+    blocked pipeline end-to-end; the recall trade vs the exact ε-graph
+    is pinned separately in tests/test_dbscan.py."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return dbscan_assign(emb, candidates="ivf")
+
+
+@register("single_linkage_embedding_ivf", oracle=_ivf_eps_oracle(_EPS2, 1))
+def single_linkage_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-linkage cut over the IVF-blocked ε-graph (min_samples=1:
+    every point core, no noise) — the scale path for
+    ``single_linkage_embedding``, same shared blocking + oracle spec."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return dbscan_assign(emb, min_samples=1, candidates="ivf")

@@ -399,14 +399,13 @@ _EMB_THRESHOLD = 0.25
 _IVF_NPROBE = 2  # top-2 nearest centroids per vector (multi-assignment)
 
 
-def _embedding_ivf_oracle(threshold: float) -> str:
+# DuckDB CTE fragment: label-seeded IVF coarse quantizer → multi-probe
+# assignment → shared-bucket candidate pairs (v1 < v2). Expects a CTE
+# ``q(vec_id, label, qv)`` defined upstream; shared verbatim by the
+# dedup and density-clustering oracles so candidate generation is ONE
+# spec on both engines.
+def ivf_cand_ctes(nprobe: int = _IVF_NPROBE) -> str:
     return f"""
-    WITH q AS (
-      SELECT vec_id, label,
-             list_transform(embedding,
-               x -> cast(floor(cast(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
-      FROM embeddings
-    ),
     expl AS (
       SELECT label AS cl, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v FROM q
     ),
@@ -426,12 +425,61 @@ def _embedding_ivf_oracle(threshold: float) -> str:
         SELECT vec_id, cl,
                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
         FROM dists
-      ) WHERE rn <= {_IVF_NPROBE}
+      ) WHERE rn <= {nprobe}
     ),
     cand AS (
       SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2
       FROM assign x JOIN assign y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )"""
+
+
+def ivf_candidate_pairs(q: DataFrame, nprobe: int = _IVF_NPROBE) -> DataFrame:
+    """(vec_id, label, qv) → candidate pairs (v1, v2), v1 < v2.
+
+    The sub-quadratic blocking every embedding-similarity operator
+    shares (near-dup dedup, DBSCAN/single-linkage ε-graphs, density
+    clustering): per-label centroids as the coarse quantizer, every
+    vector multi-assigned to its ``nprobe`` nearest centroids
+    (broadcast — k centroids, never the data), candidates = shared-
+    bucket self-join with the bucket as the shuffle key. Cost
+    ≈ nprobe²·n²/k over buckets, sub-quadratic with k grown ~√n; the
+    caller exact-verifies every candidate, so blocking only ever costs
+    recall, never precision."""
+    cent = (
+        q.select("label", F.posexplode("qv").alias("pos", "v"))
+        .groupBy(F.col("label").alias("cl"), "pos")
+        .agg((F.sum("v") * 1.0 / F.count(F.lit(1))).alias("cv"))
+    )
+    vec_expl = q.select("vec_id", F.posexplode("qv").alias("pos", "v"))
+    dists = (
+        vec_expl.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "cl")
+        .agg(F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cl"))
+    assign = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("vec_id", F.col("cl").alias("bucket"))
+    )
+    return (
+        assign.alias("x")
+        .join(assign.alias("y"), "bucket")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("v1"), F.col("y.vec_id").alias("v2"))
+        .distinct()
+    )
+
+
+def _embedding_ivf_oracle(threshold: float) -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> cast(floor(cast(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
     ),
+    {ivf_cand_ctes()},
     n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM q)
     SELECT c.v1, c.v2,
            cast(floor(list_dot_product(a.qv, b.qv) / sqrt(a.nrm * b.nrm) * 1000000
@@ -462,29 +510,7 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.expr(QUANT_MILLI).alias("qv"),
     )
-    expl = q.select("label", F.posexplode("qv").alias("pos", "v"))
-    cent = expl.groupBy(F.col("label").alias("cl"), "pos").agg(
-        (F.sum("v") * 1.0 / F.count(F.lit(1))).alias("cv")
-    )
-    vec_expl = q.select("vec_id", F.posexplode("qv").alias("pos", "v"))
-    dists = (
-        vec_expl.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "cl")
-        .agg(F.sum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv"))).alias("d2"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cl"))
-    assign = (
-        dists.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _IVF_NPROBE)
-        .select("vec_id", F.col("cl").alias("bucket"))
-    )
-    cand = (
-        assign.alias("x")
-        .join(assign.alias("y"), "bucket")
-        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(F.col("x.vec_id").alias("v1"), F.col("y.vec_id").alias("v2"))
-        .distinct()
-    )
+    cand = ivf_candidate_pairs(q)
     n = q.select("vec_id", "qv").withColumn("nrm", F.expr(_DOT.format(a="qv", b="qv")))
     a = n.select(
         F.col("vec_id").alias("v1"), F.col("qv").alias("qa"), F.col("nrm").alias("na")

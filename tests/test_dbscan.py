@@ -84,3 +84,55 @@ def test_dbscan_all_noise_when_sparse(spark):
     )
     got = dbscan_assign(emb, eps2=100, min_samples=3).collect()
     assert all(r["cluster"] == -1 for r in got)
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ivf_eps_pairs_subset_and_recall(spark):
+    """Blocked ε-pairs are exact-verified, so they must be a SUBSET of
+    the all-pairs ε-graph (precision 1.0 by construction); the blocking
+    may only cost recall, floored at the measured 0.98 @ nprobe=4."""
+    from citation_graph_spark.operators.dbscan import eps_pairs
+    from citation_graph_spark.tables import load_tables
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    exact = {(r.v1, r.v2) for r in eps_pairs(emb, candidates="all_pairs").collect()}
+    blocked = {(r.v1, r.v2) for r in eps_pairs(emb, candidates="ivf").collect()}
+    assert blocked <= exact, "blocked pairs must pass the same exact verify"
+    assert len(blocked) / max(len(exact), 1) >= 0.95, (
+        f"ε-graph recall collapsed: {len(blocked)}/{len(exact)}"
+    )
+
+
+def test_dbscan_auto_candidate_routing(spark):
+    """auto = all_pairs below the threshold (bit-identical to the
+    baseline) and the IVF path above it (bit-identical to explicit
+    candidates='ivf')."""
+    from citation_graph_spark.tables import load_tables
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    base = {r.vec_id: r.cluster for r in dbscan_assign(emb, candidates="all_pairs").collect()}
+    auto = {r.vec_id: r.cluster for r in dbscan_assign(emb, candidates="auto").collect()}
+    assert auto == base, "auto below threshold must equal the all-pairs baseline"
+
+    ivf = {r.vec_id: r.cluster for r in dbscan_assign(emb, candidates="ivf").collect()}
+    forced = {
+        r.vec_id: r.cluster
+        for r in dbscan_assign(emb, candidates="auto", auto_threshold=10).collect()
+    }
+    assert forced == ivf, "auto above threshold must route to the IVF blocking"
+
+    # the quality trade the routing makes: ≥95% of assignments identical
+    exact_agree = sum(1 for k in base if base[k] == ivf[k]) / len(base)
+    assert exact_agree >= 0.95, f"blocked assignment agreement: {exact_agree:.3f}"
+
+
+def test_dbscan_rejects_unknown_candidates_mode(spark):
+    import pytest as _pytest
+
+    from citation_graph_spark.tables import load_tables
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    with _pytest.raises(ValueError, match="candidates"):
+        dbscan_assign(emb, candidates="nonsense")
