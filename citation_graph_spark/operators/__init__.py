@@ -46,6 +46,7 @@ def load_all() -> None:
         clustering,
         dbscan,
         dedup,
+        density,
         dimred,
         functions_lib,
         graphq,

@@ -68,8 +68,9 @@ def eps_pairs(
     candidates: DataFrame | str = "auto",
     auto_threshold: int = _AUTO_ALLPAIRS_MAX,
     nprobe: int = _IVF_NPROBE_EPS,
+    keep_dist2: bool = False,
 ) -> DataFrame:
-    """Symmetric ε-neighborhood pairs (v1, v2), dist²(v1,v2) ≤ eps².
+    """Symmetric ε-neighborhood pairs (v1, v2[, dist2]), dist² ≤ eps².
 
     ``candidates``: ``"all_pairs"`` (exact crossJoin baseline —
     quadratic, correctness only), ``"ivf"`` (shared-inverted-list
@@ -95,12 +96,13 @@ def eps_pairs(
         if candidates == "auto":
             candidates = "all_pairs" if emb.count() <= auto_threshold else "ivf"
         if candidates == "all_pairs":
-            return (
+            out = (
                 a.crossJoin(b)
                 .filter(F.col("v1") != F.col("v2"))
-                .filter(dist2 <= eps2)
-                .select("v1", "v2")
+                .withColumn("dist2", dist2)
+                .filter(F.col("dist2") <= eps2)
             )
+            return out.select("v1", "v2", "dist2") if keep_dist2 else out.select("v1", "v2")
         if candidates == "ivf":
             from citation_graph_spark.operators.dedup import ivf_candidate_pairs
 
@@ -115,12 +117,13 @@ def eps_pairs(
     sym = candidates.select("v1", "v2").unionByName(
         candidates.select(F.col("v2").alias("v1"), F.col("v1").alias("v2"))
     )
-    return (
+    out = (
         sym.join(a, "v1")
         .join(b, "v2")
-        .filter(dist2 <= eps2)
-        .select("v1", "v2")
+        .withColumn("dist2", dist2)
+        .filter(F.col("dist2") <= eps2)
     )
+    return out.select("v1", "v2", "dist2") if keep_dist2 else out.select("v1", "v2")
 
 
 def dbscan_assign(
