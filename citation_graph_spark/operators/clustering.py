@@ -451,3 +451,70 @@ def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     silhouette_score), O(n·k·d) via the centroid identity."""
     q = quantized_vectors(spark, sf_dir)
     return silhouette(q, seed_assign(q))
+
+
+# --------------------------------------------------------------------------
+def _pareto_front(rows: list[tuple[int, int, int, int]]) -> set[int]:
+    """k-values of the non-dominated set over (sil↑, db↓, ch↑).
+
+    rows: (k, sil_micro, db_micro, ch_milli). a dominates b iff a is ≥
+    on every maximized objective, ≤ on every minimized one, and
+    strictly better on at least one."""
+
+    def dominates(a, b) -> bool:
+        ge = a[1] >= b[1] and a[2] <= b[2] and a[3] >= b[3]
+        strict = a[1] > b[1] or a[2] < b[2] or a[3] > b[3]
+        return ge and strict
+
+    return {r[0] for r in rows if not any(dominates(o, r) for o in rows)}
+
+
+@register("kmeans_pareto_front")  # rows-only: k-means fits have no SQL
+# oracle; the three scoring metrics are each oracle-checked standalone
+# and the front logic is exact-pinned in tests/test_clustering_metrics.py
+def kmeans_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-objective model selection (reference parity:
+    scripts/run_mo_opt_clustering.py:33-99 runs NSGA-II over
+    silhouette↑ / davies-bouldin↓ / calinski-harabasz↑ with 50 trials;
+    here the same three metrics — the engine's distributed,
+    oracle-checked implementations — score a deterministic k grid and
+    the non-dominated set is computed on the driver). The driver loop
+    is over HYPERPARAMETERS and per-k scalar metric rows (k rows of 3
+    ints each), never over data; every fit and every metric is a
+    distributed job. Scalarization is deterministic-integer: weighted
+    mean of per-cluster silhouette micros (floor), mean of per-cluster
+    r_max micros (floor), CH milli as-is. Returns
+    (k, sil_micro, db_micro, ch_milli, on_front) sorted by k."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    feat = e.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    ).persist()
+    q = quantized_vectors(spark, sf_dir).select("vec_id", "qv").persist()
+    rows: list[tuple[int, int, int, int]] = []
+    for k in (4, 6, 8, 10, 12):
+        model = KMeans(k=k, seed=42, maxIter=20, initMode="k-means||").fit(feat)
+        assign = model.transform(feat).select(
+            "vec_id", F.col("prediction").cast("long").alias("cluster")
+        ).persist()
+        sil_rows = silhouette(q, assign).collect()
+        db_rows = davies_bouldin(q, assign).collect()
+        ch = calinski_harabasz(q, assign).collect()[0]["ch_milli"]
+        assign.unpersist()
+        n_tot = sum(r["n_vectors"] for r in sil_rows)
+        sil = (
+            sum(r["n_vectors"] * r["mean_silhouette_micro"] for r in sil_rows)
+            // n_tot
+        )
+        db = sum(r["r_max_micro"] for r in db_rows) // len(db_rows)
+        rows.append((k, int(sil), int(db), int(ch)))
+    feat.unpersist()
+    q.unpersist()
+    front = _pareto_front(rows)
+    out = spark.createDataFrame(
+        rows, "k long, sil_micro long, db_micro long, ch_milli long"
+    )
+    return out.withColumn("on_front", F.col("k").isin(*front)).orderBy("k")

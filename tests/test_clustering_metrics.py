@@ -157,3 +157,43 @@ def test_metrics_on_kmeans_assignment(spark, emb):
     np_assign = np.array([got[v] for v in vec_ids])
     q = quantized_vectors(spark, SF_DIR)
     _check_all(spark, q, assign_df, vec_ids, qv, np_assign)
+
+
+def test_pareto_front_logic():
+    from citation_graph_spark.operators.clustering import _pareto_front
+
+    # b dominated by a on all three; c trades off → front = {a, c}
+    a, b, c = (4, 100, 50, 900), (6, 90, 60, 800), (8, 120, 70, 850)
+    assert _pareto_front([a, b, c]) == {4, 8}
+    # identical points dominate nothing (no strict improvement) → both stay
+    assert _pareto_front([(4, 1, 1, 1), (6, 1, 1, 1)]) == {4, 6}
+    # a single point is always the front
+    assert _pareto_front([a]) == {4}
+
+
+def test_kmeans_pareto_front_query(spark):
+    from citation_graph_spark.operators.clustering import _pareto_front
+
+    rows = operators.QUERIES["kmeans_pareto_front"](spark, SF_DIR).collect()
+    ks = [r["k"] for r in rows]
+    assert ks == [4, 6, 8, 10, 12]
+    # replaying the front logic on the returned scalars must reproduce
+    # the on_front flags exactly (the query is deterministic end-to-end)
+    scal = [(r["k"], r["sil_micro"], r["db_micro"], r["ch_milli"]) for r in rows]
+    want = _pareto_front(scal)
+    assert {r["k"] for r in rows if r["on_front"]} == want
+    assert len(want) >= 1
+    # no on-front point may be dominated by any other point
+    for r in rows:
+        if not r["on_front"]:
+            assert any(
+                o["sil_micro"] >= r["sil_micro"]
+                and o["db_micro"] <= r["db_micro"]
+                and o["ch_milli"] >= r["ch_milli"]
+                and (
+                    o["sil_micro"] > r["sil_micro"]
+                    or o["db_micro"] < r["db_micro"]
+                    or o["ch_milli"] > r["ch_milli"]
+                )
+                for o in rows
+            ), f"k={r['k']} off-front but undominated"
