@@ -337,6 +337,18 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are ever compared."""
     d = load_tables(spark, sf_dir)["documents"]
     sigs = _simhash_sigs(d).persist()
+    out = simhash_pair_lineage(sigs).localCheckpoint(
+        eager=True
+    )  # materialize, then release sigs
+    sigs.unpersist()
+    return out
+
+
+def simhash_pair_lineage(sigs: DataFrame) -> DataFrame:
+    """The banded pairing plan over (doc_id, simhash) — split out
+    un-checkpointed so tests/test_plan_regressions.py and
+    tools/explain_audit.py can read the lineage the registered query
+    materializes."""
     band_structs = [
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -358,16 +370,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = sigs.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("sh1"))
     s2 = sigs.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("sh2"))
     hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
-    out = (
+    return (
         cand.join(s1, "d1")
         .join(s2, "d2")
         .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= _HAMMING_K)
         .select("d1", "d2", "hamming")
-        .localCheckpoint(eager=True)  # materialize, then release sigs
     )
-    sigs.unpersist()
-    return out
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,139 @@
+"""Plan regressions: the scale-relevant physical-plan properties from
+PLANS.md, pinned in CI.  A change that adds a shuffle, drops a
+broadcast, breaks scan pushdown/pruning, or introduces a cartesian
+product into a non-baseline query fails HERE instead of waiting for a
+bench diff.
+
+Ceilings (≤) rather than exact counts where Catalyst has latitude;
+structural zeros (no sort-merge in an all-broadcast star, zero
+exchanges in a pure column-expression query) are exact."""
+
+from __future__ import annotations
+
+import pytest
+
+from citation_graph_spark import operators
+from citation_graph_spark.planaudit import plan_stats, static_plans
+
+SF_DIR = "/root/testdata/sf0.001"
+
+operators.load_all()
+
+
+@pytest.fixture(scope="module")
+def stats(spark):
+    cache: dict[str, dict] = {}
+
+    def get(name: str) -> dict:
+        if name not in cache:
+            with static_plans(spark):
+                cache[name] = plan_stats(operators.QUERIES[name](spark, SF_DIR))
+        return cache[name]
+
+    return get
+
+
+def test_pricing_summary_scan_and_one_shuffle(stats):
+    s = stats("pricing_summary")
+    # partial agg → ONE exchange → final agg (2 Exchange nodes incl.
+    # the ordering requirement); no joins at all
+    assert s["exchanges"] <= 2
+    assert s["sort_merge_joins"] == 0 and s["cartesian"] == 0
+    # the date filter must reach the parquet scan
+    assert any("l_shipdate" in p for p in s["pushed"]), s["pushed"]
+    # column pruning: the scan reads the 7 needed columns, never l_comment
+    assert s["read_schemas"] and all(
+        "l_comment" not in r for r in s["read_schemas"]
+    ), s["read_schemas"]
+
+
+def test_nation_trade_pairs_all_broadcast_star(stats):
+    s = stats("nation_trade_pairs")
+    assert s["sort_merge_joins"] == 0 and s["shuffled_hash_joins"] == 0
+    assert s["cartesian"] == 0
+    assert s["broadcast_joins"] >= 4
+    assert s["exchanges"] <= 2  # only the final aggregate shuffles
+
+
+def test_top_revenue_customers_dims_broadcast(stats):
+    s = stats("top_revenue_customers")
+    assert s["sort_merge_joins"] == 0 and s["cartesian"] == 0
+    assert s["broadcast_joins"] >= 2
+    assert s["exchanges"] <= 2
+
+
+def test_asof_join_no_sort_merge(stats):
+    s = stats("asof_view_before_purchase")
+    assert s["sort_merge_joins"] == 0 and s["cartesian"] == 0
+    assert s["exchanges"] <= 2
+
+
+def test_dedup_minhash_lsh_banded_equi_join(stats):
+    s = stats("dedup_minhash_lsh")
+    # the whole point of LSH banding: an equi-join on band signatures,
+    # never a cartesian similarity join
+    assert s["cartesian"] == 0
+    assert s["exchanges"] <= 2
+
+
+def test_dedup_simhash_pairs_banded(spark):
+    # the registered query materializes via localCheckpoint, so pin the
+    # lineage it materializes instead of the post-checkpoint scan
+    from citation_graph_spark.operators.dedup import (
+        _simhash_sigs,
+        simhash_pair_lineage,
+    )
+    from citation_graph_spark.tables import load_tables
+
+    with static_plans(spark):
+        s = plan_stats(
+            simhash_pair_lineage(
+                _simhash_sigs(load_tables(spark, SF_DIR)["documents"])
+            )
+        )
+    assert s["cartesian"] == 0
+    assert s["exchanges"] <= 5
+
+
+def test_dedup_embedding_ivf_bucketed(stats):
+    s = stats("dedup_embedding_ivf")
+    # IVF candidates come from a bucket equi-join; exact verify joins
+    # back by vec_id — sub-quadratic end to end
+    assert s["cartesian"] == 0
+    assert s["exchanges"] <= 10
+
+
+def test_knn_scan_parallel(stats):
+    s = stats("knn_cosine_topk")
+    # the 10-query batch broadcasts (BroadcastNestedLoopJoin over the
+    # scan is the intended shape: broadcast side is constant-size);
+    # the scan side must NOT shuffle before the top-k window
+    assert s["sort_merge_joins"] == 0
+    assert s["exchanges"] <= 2
+
+
+def test_sampling_queries_zero_or_min_exchange(stats):
+    s = stats("lang_stratified_sample")
+    # pure column-expression hash filter: NO exchange at all, scan prunes
+    assert s["exchanges"] == 0
+    assert s["read_schemas"] and all(
+        "content" not in r for r in s["read_schemas"]
+    ), s["read_schemas"]
+
+    s2 = stats("doc_split_assign")
+    assert s2["exchanges"] <= 2  # the rollup aggregate only
+    assert s2["cartesian"] == 0
+
+
+def test_graph_degrees_bounded_shuffles(stats):
+    s = stats("graph_part_degrees")
+    assert s["cartesian"] == 0
+    assert s["exchanges"] <= 10
+
+
+def test_silhouette_linear_metric_plan(stats):
+    s = stats("cluster_silhouette")
+    # O(n·k) by construction: per-cluster aggregates broadcast back to
+    # the point table — a cartesian point×point product must never appear
+    assert s["cartesian"] == 0
+    assert s["broadcast_joins"] >= 2
