@@ -7,7 +7,12 @@ count, column names/types-loosely, and an order-insensitive value hash
 normalization). Mirrors the driver contract described in
 __spark_entry__.py.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` also persists the per-query records in the driver gate's
+CORRECTNESS_r{N}.json shape (rows_match / schema_match / hash_match /
+spark_rows / oracle_rows / err) so a full local run is a committable
+artifact.
 """
 
 from __future__ import annotations
@@ -21,8 +26,13 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_args = sys.argv[1:]
+JSON_OUT = None
+if _args and _args[0] == "--json":
+    JSON_OUT = _args[1]
+    _args = _args[2:]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])
 
 from citation_graph_spark.tables import TABLE_NAMES  # noqa: E402
 
@@ -65,6 +75,20 @@ def main() -> int:
         )
 
     failures = []
+    records: dict[str, dict] = {}
+
+    def record(name, **kw):
+        base = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        base.update(kw)
+        records[name] = base
+
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
@@ -76,6 +100,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
             failures.append(name)
+            record(name, err=f"spark: {exc}")
             continue
         spark_wall = time.monotonic() - t0
         if name not in oracles:
@@ -83,6 +108,7 @@ def main() -> int:
                 f"ok?   {name}: rows={len(rows)} (rows-only, no oracle)"
                 f" [{spark_wall:.1f}s]"
             )
+            record(name, spark_rows=len(rows), err="no_oracle")
             if len(rows) == 0:
                 print(f"WARN  {name}: zero rows")
             continue
@@ -93,6 +119,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures.append(name)
+            record(name, spark_rows=len(rows), err=f"duckdb: {exc}")
             continue
         problems = []
         if len(rows) != len(orows):
@@ -116,11 +143,26 @@ def main() -> int:
                     if a != b:
                         print(f"      first diff:\n      spark: {a!r}\n      duck : {b!r}")
                         break
+        record(
+            name,
+            rows_match=len(rows) == len(orows),
+            schema_match=sorted(cols) == sorted(ocols),
+            hash_match=not problems,
+            spark_rows=len(rows),
+            oracle_rows=len(orows),
+        )
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)} [{spark_wall:.1f}s]")
             failures.append(name)
         else:
             print(f"PASS  {name}: rows={len(rows)} [{spark_wall:.1f}s]")
+
+    if JSON_OUT:
+        import json
+
+        with open(JSON_OUT, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"wrote {JSON_OUT} ({len(records)} queries)")
 
     print()
     if failures:
