@@ -137,3 +137,12 @@ def test_silhouette_linear_metric_plan(stats):
     # the point table — a cartesian point×point product must never appear
     assert s["cartesian"] == 0
     assert s["broadcast_joins"] >= 2
+
+
+def test_tsne_xy_transform_is_zero_shuffle(stats):
+    # the out-of-sample interpolation is a broadcast + mapInPandas over
+    # the scan: any Exchange/join here means the landmark design broke
+    s = stats("tsne_xy")
+    assert s["exchanges"] == 0
+    assert s["sort_merge_joins"] == 0 and s["cartesian"] == 0
+    assert s["broadcast_joins"] == 0
