@@ -78,9 +78,11 @@ def test_rows_only_queries_have_kernel_oracles():
     """Queries without SQL oracles must be the corpus kernel runs
     (exact pytest oracles in test_graph_kernels.py), k-means (no
     cross-implementation oracle exists; determinism in test_kmeans,
-    metric-checked in test_clustering_metrics), pca_xy (numpy
-    pipeline-replay oracle in test_dimred), or LDA topics (determinism
-    + invariants in test_topics)."""
+    metric-checked in test_clustering_metrics; the Pareto front is a
+    deterministic driver-side reduction of the same sweep, invariants
+    in test_kmeans), pca_xy/tsne_xy (full numpy pipeline-replay
+    oracles in test_dimred), or LDA topics (determinism + invariants
+    in test_topics)."""
     rows_only = set(operators.QUERIES) - set(operators.ORACLES)
     allowed = {
         "embedding_kmeans",
@@ -88,5 +90,7 @@ def test_rows_only_queries_have_kernel_oracles():
         "doc_topics_lda",
         "doc_topics_nmf",
         "kmeans_model_selection",
+        "kmeans_pareto_front",
+        "tsne_xy",
     }
     assert all(n.startswith("corpus_") or n in allowed for n in rows_only), rows_only
