@@ -360,6 +360,34 @@ def cluster_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return davies_bouldin(q, seed_assign(q))
 
 
+def _kmeans_sweep(spark, sf_dir, score, ks=(4, 6, 8, 10, 12)):
+    """Shared deterministic MLlib k-sweep (seed 42, maxIter 20,
+    k-means||) behind both model-selection queries: fits each k with
+    the feature/quantized tables persisted, calls ``score(q, assign)``
+    → tuple of ints per k, and returns [(k, *scores)]. One definition
+    so the grid/seed/scoring inputs can never drift between the
+    single-objective and Pareto queries."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    feat = e.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    ).persist()
+    q = quantized_vectors(spark, sf_dir).select("vec_id", "qv").persist()
+    rows = []
+    for k in ks:
+        model = KMeans(k=k, seed=42, maxIter=20, initMode="k-means||").fit(feat)
+        assign = model.transform(feat).select(
+            "vec_id", F.col("prediction").cast("long").alias("cluster")
+        )
+        rows.append((k, *score(q, assign)))
+    feat.unpersist()
+    q.unpersist()
+    return rows
+
+
 @register("kmeans_model_selection")  # rows-only: k-means fits have no SQL
 # oracle; the scoring metrics themselves are oracle-checked separately and
 # numpy-verified per assignment in tests/test_clustering_metrics.py
@@ -371,25 +399,11 @@ def kmeans_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher is better). The driver loop is over HYPERPARAMETERS (5
     fits), never over data; each fit and each scoring is a distributed
     job. Returns (k, ch_milli, is_best) sorted by k."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    e = load_tables(spark, sf_dir)["embeddings"]
-    feat = e.select(
-        "vec_id",
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
-    ).persist()
-    q = quantized_vectors(spark, sf_dir).select("vec_id", "qv").persist()
-    rows = []
-    for k in (4, 6, 8, 10, 12):
-        model = KMeans(k=k, seed=42, maxIter=20, initMode="k-means||").fit(feat)
-        assign = model.transform(feat).select(
-            "vec_id", F.col("prediction").cast("long").alias("cluster")
-        )
-        ch = calinski_harabasz(q, assign).collect()[0]["ch_milli"]
-        rows.append((k, int(ch)))
-    feat.unpersist()
-    q.unpersist()
+    def score(q, assign):
+        return (int(calinski_harabasz(q, assign).collect()[0]["ch_milli"]),)
+
+    rows = _kmeans_sweep(spark, sf_dir, score)
     best_k = max(rows, key=lambda r: (r[1], -r[0]))[0]
     out = spark.createDataFrame(rows, "k long, ch_milli long")
     return out.withColumn("is_best", F.col("k") == F.lit(best_k)).orderBy("k")
@@ -485,21 +499,9 @@ def kmeans_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean of per-cluster silhouette micros (floor), mean of per-cluster
     r_max micros (floor), CH milli as-is. Returns
     (k, sil_micro, db_micro, ch_milli, on_front) sorted by k."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    e = load_tables(spark, sf_dir)["embeddings"]
-    feat = e.select(
-        "vec_id",
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
-    ).persist()
-    q = quantized_vectors(spark, sf_dir).select("vec_id", "qv").persist()
-    rows: list[tuple[int, int, int, int]] = []
-    for k in (4, 6, 8, 10, 12):
-        model = KMeans(k=k, seed=42, maxIter=20, initMode="k-means||").fit(feat)
-        assign = model.transform(feat).select(
-            "vec_id", F.col("prediction").cast("long").alias("cluster")
-        ).persist()
+    def score(q, assign):
+        assign = assign.persist()
         sil_rows = silhouette(q, assign).collect()
         db_rows = davies_bouldin(q, assign).collect()
         ch = calinski_harabasz(q, assign).collect()[0]["ch_milli"]
@@ -510,9 +512,9 @@ def kmeans_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
             // n_tot
         )
         db = sum(r["r_max_micro"] for r in db_rows) // len(db_rows)
-        rows.append((k, int(sil), int(db), int(ch)))
-    feat.unpersist()
-    q.unpersist()
+        return (int(sil), int(db), int(ch))
+
+    rows = _kmeans_sweep(spark, sf_dir, score)
     front = _pareto_front(rows)
     out = spark.createDataFrame(
         rows, "k long, sil_micro long, db_micro long, ch_milli long"

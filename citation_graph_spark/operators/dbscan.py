@@ -78,7 +78,16 @@ def eps_pairs(
     to seed the coarse quantizer), ``"auto"`` (all_pairs below
     ``auto_threshold`` rows, ivf above), or a DataFrame of unordered
     candidate pairs (v1, v2) from any blocking scheme. Every candidate
-    is exact-integer verified, so a blocked source only trades recall."""
+    is exact-integer verified, so a blocked source only trades recall.
+
+    ``"auto"`` decides with one count() job at call time — at corpus
+    scale pass an explicit mode (registered queries pin theirs: the
+    oracle-backed baselines are ``"all_pairs"`` so engine and exact
+    oracle can never diverge, the ``_ivf`` variants are the scale
+    path). Caller-supplied candidate DataFrames are deduplicated and
+    self-pair-filtered after the symmetric closure, so duplicated or
+    bidirectional blocking output cannot inflate neighbor counts."""
+    external_candidates = not isinstance(candidates, str)
     q = emb.select(
         "vec_id",
         F.expr(QUANT_MILLI).alias("qv"),
@@ -117,6 +126,12 @@ def eps_pairs(
     sym = candidates.select("v1", "v2").unionByName(
         candidates.select(F.col("v2").alias("v1"), F.col("v1").alias("v2"))
     )
+    if external_candidates:
+        # a caller's blocking scheme may emit duplicates, both
+        # orientations, or self-pairs; any of those would double-count
+        # ε-neighbors downstream (degree → core status → clusters).
+        # The internal IVF source already emits distinct v1 < v2 pairs.
+        sym = sym.filter(F.col("v1") != F.col("v2")).distinct()
     out = (
         sym.join(a, "v1")
         .join(b, "v2")
@@ -251,7 +266,11 @@ def dbscan_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs the identical deterministic spec (ε-join → core degree →
     reachability-CTE components → min-border-attach → noise)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    return dbscan_assign(emb)
+    # pinned: the oracle is exact all-pairs, so the engine side must be
+    # too at every scale — "auto" would silently route to IVF blocking
+    # above its threshold and diverge from the gate's oracle; the
+    # blocked scale path is the separate dbscan_embedding_ivf query
+    return dbscan_assign(emb, candidates="all_pairs")
 
 
 @register(
@@ -287,7 +306,8 @@ def single_linkage_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     linkage are inherently sequential merges and stay out of scope
     (COVERAGE.md)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    return dbscan_assign(emb, min_samples=1)
+    # pinned exact for the same reason as dbscan_embedding
+    return dbscan_assign(emb, min_samples=1, candidates="all_pairs")
 
 
 # ---- blocked (sub-quadratic) variants: same DBSCAN spec, IVF candidates

@@ -81,8 +81,16 @@ def core_distances(pairs: DataFrame, min_samples: int) -> DataFrame:
     exist only for points with enough ε-neighbors; the k-th-smallest
     *value* is tie-order-insensitive, so the (dist2, v2) ordering is
     shared with the oracle purely for determinism of the row, not the
-    value."""
+    value.  min_samples <= 1 means the point itself satisfies the
+    density requirement: every pair endpoint gets core2 = 0 (sklearn's
+    min_samples=1 semantics), with no kNN rank pass at all."""
     k = min_samples - 1
+    if k <= 0:
+        return (
+            pairs.select(F.col("v1").alias("vec_id"))
+            .distinct()
+            .withColumn("core2", F.lit(0).cast("long"))
+        )
     w = Window.partitionBy("v1").orderBy("dist2", "v2")
     return (
         pairs.withColumn("rn", F.row_number().over(w))
@@ -270,4 +278,7 @@ def hdbscan_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DBSCAN* per level, min-cluster-size noise rule) — the engine's
     HDBSCAN analog, checked exactly against a no-MSF DuckDB replay."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    return hdbscan_cut_labels(emb)
+    # pinned: the oracle replays the exact ε-bounded graph, so the
+    # engine must use exact candidates at every scale ("auto" would
+    # switch to IVF blocking above its threshold and diverge)
+    return hdbscan_cut_labels(emb, candidates="all_pairs")

@@ -236,6 +236,9 @@ def _interp_landmarks(
     exact while m <= 1024). Pure function — the Arrow batch kernel and
     the pytest replay call the same code."""
     m = lq.shape[0]
+    # rank is packed into the low bits of the sort key; m beyond that
+    # would silently corrupt the distance ordering instead of tie-breaks
+    assert m <= 1024, f"landmark count {m} exceeds the 1024 tie-break bound"
     k = min(k, m)
     xs = (xq * xq).sum(axis=1)
     ls = (lq * lq).sum(axis=1)
@@ -271,17 +274,18 @@ def _tsne_landmarks(q: DataFrame):
     return ids, mat
 
 
-@register("tsne_xy")  # rows-only: iterative KL-gradient fit has no SQL
-# oracle; exactness is the full-pipeline replay in tests/test_dimred.py
-def tsne_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, x_milli, y_milli) — t-SNE plane for every embedding:
-    exact t-SNE on m=256 deterministic landmarks (driver, O(m^2),
-    independent of n), all other rows interpolated from their K=5
-    nearest landmarks in one zero-shuffle mapInPandas pass."""
+def tsne_coords(q: DataFrame) -> DataFrame:
+    """(vec_id, qv) → (vec_id, x_milli, y_milli) — t-SNE plane for
+    every quantized vector: exact t-SNE on m=256 deterministic
+    landmarks (driver, O(m^2), independent of n), all other rows
+    interpolated from their K=5 nearest landmarks in one zero-shuffle
+    mapInPandas pass."""
     import pandas as pd
 
-    q = quantized_vectors(spark, sf_dir).select("vec_id", "qv")
+    spark = q.sparkSession
     lm_ids, lm_mat = _tsne_landmarks(q)
+    if lm_ids.size == 0:  # empty input: empty result, same schema
+        return spark.createDataFrame([], "vec_id long, x_milli long, y_milli long")
     yq = np.floor(_tsne_fit(lm_mat) * 1000 + 0.5).astype(np.int64)
 
     b = spark.sparkContext.broadcast((lm_ids, lm_mat, yq))
@@ -306,3 +310,10 @@ def tsne_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return q.mapInPandas(part, "vec_id long, x_milli long, y_milli long")
+
+
+@register("tsne_xy")  # rows-only: iterative KL-gradient fit has no SQL
+# oracle; exactness is the full-pipeline replay in tests/test_dimred.py
+def tsne_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark t-SNE coordinates for the embeddings table."""
+    return tsne_coords(quantized_vectors(spark, sf_dir).select("vec_id", "qv"))

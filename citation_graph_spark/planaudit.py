@@ -11,18 +11,17 @@ from contextlib import contextmanager, redirect_stdout
 
 from pyspark.sql import DataFrame, SparkSession
 
+from citation_graph_spark.session import iterative_kernel_conf
+
 
 @contextmanager
 def static_plans(spark: SparkSession):
     """AQE off for the duration: adaptive planning defers physical
     decisions to runtime and hides codegen markers in pre-execution
-    plans, so plan audits read the static plan."""
-    prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
+    plans, so plan audits read the static plan. Same mechanics as the
+    kernel toggle — delegate so the save/restore semantics live once."""
+    with iterative_kernel_conf(spark):
         yield
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def plan_stats(df: DataFrame) -> dict:

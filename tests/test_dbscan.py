@@ -136,3 +136,47 @@ def test_dbscan_rejects_unknown_candidates_mode(spark):
     emb = load_tables(spark, SF_DIR)["embeddings"]
     with _pytest.raises(ValueError, match="candidates"):
         dbscan_assign(emb, candidates="nonsense")
+
+
+def test_external_candidates_duplicates_and_self_pairs_are_hygienic(spark):
+    """A caller-supplied blocking DataFrame with duplicates, both
+    orientations, and self-pairs must give the SAME clustering as the
+    exact baseline when it covers every true ε-pair — duplicate votes
+    must not inflate core degrees."""
+    from citation_graph_spark.operators.dbscan import eps_pairs
+
+    X = _blobs()
+    eps2, min_samples = 1_000_000, 4
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(len(X)), "embedding": [list(map(float, r)) for r in X]}
+        )
+    )
+    n = len(X)
+    import pyspark.sql.functions as F
+
+    ids = spark.range(n).select(F.col("id").alias("v1"))
+    # full cross product INCLUDING self-pairs and both orientations,
+    # then unioned with itself → every pair appears at least 4 ways
+    allp = ids.crossJoin(ids.select(F.col("v1").alias("v2")))
+    dirty = allp.unionByName(allp)
+
+    base = {
+        r["vec_id"]: r["cluster"]
+        for r in dbscan_assign(
+            emb, eps2=eps2, min_samples=min_samples, candidates="all_pairs"
+        ).collect()
+    }
+    via_dirty = {
+        r["vec_id"]: r["cluster"]
+        for r in dbscan_assign(
+            emb, eps2=eps2, min_samples=min_samples, candidates=dirty
+        ).collect()
+    }
+    assert via_dirty == base
+
+    # and eps_pairs itself emits each symmetric pair exactly once
+    pairs = eps_pairs(emb, eps2=eps2, candidates=dirty).collect()
+    keys = [(r.v1, r.v2) for r in pairs]
+    assert len(keys) == len(set(keys))
+    assert all(v1 != v2 for v1, v2 in keys)

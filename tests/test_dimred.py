@@ -114,3 +114,12 @@ def test_tsne_fit_separates_clusters_and_is_deterministic():
 
     # and the fit is deterministic run-to-run
     assert np.array_equal(y, _tsne_fit(qv))
+
+
+def test_tsne_coords_empty_input_returns_empty(spark):
+    from citation_graph_spark.operators.dimred import tsne_coords
+
+    q = spark.createDataFrame([], "vec_id long, qv array<bigint>")
+    out = tsne_coords(q)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "x_milli", "y_milli"]

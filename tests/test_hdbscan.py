@@ -137,3 +137,23 @@ def test_hdbscan_sparse_points_noise_at_all_levels(spark):
     for lv in LEVELS:
         for i in sparse_ids:
             assert got[(lv, i)] == -1
+
+
+def test_core_distances_min_samples_one_is_zero_for_all(spark):
+    """min_samples=1: the point itself satisfies the density rule, so
+    every pair endpoint has core² = 0 (sklearn semantics) rather than
+    the k=0 rank matching nothing and everything becoming noise."""
+    from citation_graph_spark.operators.dbscan import eps_pairs
+    from citation_graph_spark.operators.density import core_distances
+
+    X = _blobs()
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(len(X)), "embedding": [list(map(float, r)) for r in X]}
+        )
+    )
+    pairs = eps_pairs(emb, eps2=1_000_000, candidates="all_pairs", keep_dist2=True)
+    got = core_distances(pairs, min_samples=1).collect()
+    endpoints = {r.v1 for r in pairs.collect()}
+    assert {r["vec_id"] for r in got} == endpoints
+    assert all(r["core2"] == 0 for r in got)
