@@ -747,3 +747,129 @@ def corpus_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertices, edges = corpus_tables(spark)
     return triangle_counts(edges, vertices=vertices.select("vid"))
+
+
+# --------------------------------------------------------------------------
+# Modularity of the label-propagation communities — the standard
+# community-QUALITY metric (Newman-Girvan Q), the graph-side analog of
+# what silhouette/DB/CH are for the embedding clusterings (the
+# reference scores every clustering run; its community detection has no
+# quality readout — this closes that asymmetry).
+#
+# Q = Σ_c [ L_c/m − (D_c/(2m))² ] over the undirected unit-weight
+# graph: L_c = intra-community edges, D_c = Σ degrees, m = |edges|.
+# Served per community as q_nano so the gate hashes every community's
+# contribution, not one rounded scalar.
+#
+# Determinism: L_c, D_c, m are exact integers on both engines; doubles
+# appear only in the final expression, with EXPLICIT parenthesization
+# mirrored in the oracle so both engines run the identical IEEE op
+# sequence — the house rule (README "Cross-engine float determinism").
+_MOD_LP_LAB_CTE = f"""
+    lab(it, v, l) AS (
+      SELECT 0, vid, vid FROM verts
+      UNION ALL
+      SELECT it, v, l FROM (
+        SELECT x.it + 1 AS it, x.dst AS v, x.nl AS l,
+               row_number() OVER (PARTITION BY x.it, x.dst
+                                  ORDER BY x.c DESC, x.nl) AS rn
+        FROM (
+          SELECT lab.it, s.dst, lab.l AS nl, count(*) AS c
+          FROM lab JOIN sym s ON lab.v = s.src
+          WHERE lab.it < {_LP_ITERS}
+          GROUP BY lab.it, s.dst, lab.l
+        ) x
+      ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "graph_part_modularity",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    {_MOD_LP_LAB_CTE},
+    fin AS (SELECT v AS vid, l AS label FROM lab WHERE it = {_LP_ITERS}),
+    m AS (SELECT count(*) AS m FROM edges),
+    deg AS (SELECT src AS vid, count(*) AS d FROM sym GROUP BY src),
+    comm AS (
+      SELECT label AS community, count(*) AS n_vertices,
+             sum(d) AS degree_sum
+      FROM fin JOIN deg USING (vid) GROUP BY label
+    ),
+    intra AS (
+      SELECT f1.label AS community, count(*) AS intra_edges
+      FROM edges e
+        JOIN fin f1 ON e.src = f1.vid
+        JOIN fin f2 ON e.dst = f2.vid
+      WHERE f1.label = f2.label
+      GROUP BY f1.label
+    )
+    SELECT c.community, c.n_vertices,
+           coalesce(i.intra_edges, 0) AS intra_edges,
+           cast(c.degree_sum AS BIGINT) AS degree_sum,
+           cast(floor(
+             ((cast(coalesce(i.intra_edges, 0) AS DOUBLE)
+                 * (4.0 * cast(m.m AS DOUBLE))
+               - cast(c.degree_sum AS DOUBLE) * cast(c.degree_sum AS DOUBLE))
+              / ((4.0 * cast(m.m AS DOUBLE)) * cast(m.m AS DOUBLE)))
+             * 1000000000 + 0.5) AS BIGINT) AS q_nano
+    FROM comm c LEFT JOIN intra i ON c.community = i.community
+    CROSS JOIN m
+    """,
+)
+def graph_part_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community Newman-Girvan modularity contribution of the
+    5-round label-propagation communities on the part graph, vs an
+    oracle that replays LP as a recursive CTE and the Q algebra with
+    the identical double expression. Global Q = sum(q_nano)/1e9."""
+    edges = part_graph_edges(spark, sf_dir).select("src", "dst")
+    lab = label_propagation(
+        edges.withColumn("weight", F.lit(1.0)), max_iter=_LP_ITERS
+    )
+
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("vid")).agg(F.count(F.lit(1)).alias("d"))
+    comm = (
+        lab.join(deg, "vid")
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.sum("d").cast("long").alias("degree_sum"),
+        )
+    )
+    intra = (
+        edges.join(
+            lab.select(F.col("vid").alias("src"), F.col("label").alias("l1")), "src"
+        )
+        .join(lab.select(F.col("vid").alias("dst"), F.col("label").alias("l2")), "dst")
+        .filter(F.col("l1") == F.col("l2"))
+        .groupBy(F.col("l1").alias("community"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    tot = edges.agg(F.count(F.lit(1)).alias("m"))
+
+    md = F.col("m").cast("double")
+    ie = F.coalesce(F.col("intra_edges"), F.lit(0)).cast("long")
+    ds = F.col("degree_sum")
+    q_nano = F.floor(
+        (
+            (ie.cast("double") * (F.lit(4.0) * md) - ds.cast("double") * ds.cast("double"))
+            / ((F.lit(4.0) * md) * md)
+        )
+        * F.lit(1000000000)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        comm.join(intra, "community", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "community",
+            "n_vertices",
+            ie.alias("intra_edges"),
+            "degree_sum",
+            q_nano.alias("q_nano"),
+        )
+    )

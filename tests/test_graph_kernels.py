@@ -176,3 +176,22 @@ def test_forced_star_contraction_rejects_checkpoint_contract(spark):
             edges, verts, star_contraction=True, resume=True,
             checkpoint_dir="/tmp/cgs-test-star-ckpt",
         )
+
+
+def test_modularity_invariants(spark):
+    """graph_part_modularity: Σ degree_sum = 2m, Σ intra ≤ m, and the
+    global Q of a better-than-random community structure lies in
+    (0, 1] (Newman-Girvan bounds are (-0.5, 1])."""
+    from citation_graph_spark import operators
+
+    operators.load_all()
+    rows = operators.QUERIES["graph_part_modularity"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    from citation_graph_spark.operators.graphq import part_graph_edges
+
+    m = part_graph_edges(spark, "/root/testdata/sf0.001").count()
+    assert sum(r["degree_sum"] for r in rows) == 2 * m
+    assert sum(r["intra_edges"] for r in rows) <= m
+    q = sum(r["q_nano"] for r in rows) / 1e9
+    assert 0.0 < q <= 1.0, q
