@@ -5,10 +5,13 @@ coordinates via a landmark fit + distributed interpolation; UMAP stays
 out of scope per SURVEY §7.3 / COVERAGE.md).
 
 Spark-first shape: the only non-distributed object is the d×d second-
-moment matrix — a classic two-level aggregation output (d=64 → 4096
-cells), collected to the driver for a numpy eigh exactly the way
-k-means collects k centroids. Everything row-scale (the n×d explode,
-the projections) stays distributed.
+moment matrix — a per-partition numpy Gram (mapInPandas over Arrow
+batches) reduced by one tiny groupBy-sum, collected to the driver for
+a numpy eigh exactly the way k-means collects k centroids. Everything
+row-scale (the scan, the zip_with/aggregate projections) stays
+distributed and shuffle-free; nothing anywhere materializes more than
+d² rows per partition, so the shape survives the reference's real
+1536/3072-dim vectors (integrate_batch.py:128,154).
 
 Determinism: moments are EXACT bigint sums of milli-quantized vectors
 (identical on any engine / partitioning); eigh runs on those exact
@@ -43,66 +46,112 @@ def _pca_eigvecs(moments: np.ndarray, sums: np.ndarray, n: int) -> np.ndarray:
     return top
 
 
+def _moment_partials(batches):
+    """Arrow-batch Gram kernel: accumulate the exact int64 second-moment
+    matrix AᵀA, the column sums Σv, and the row count across every batch
+    of the partition, then emit ONE compact partial — the upper triangle
+    of the (symmetric) Gram (d(d+1)/2 rows), d sum rows (j = -1), and a
+    count row (i = j = -1). Integer addition is order-independent, so
+    the final groupBy-sum is bit-identical under any partitioning.
+
+    This replaces the r3 chained-posexplode shape (n·d² generated rows —
+    fine at the d=64 fixture, infeasible at the reference's 1536/3072-dim
+    vectors, integrate_batch.py:128,154): per-partition work is a numpy
+    int64 matmul over the Arrow batch, and nothing leaving the partition
+    grows with n."""
+    import pandas as pd
+
+    g = None
+    s = None
+    c = 0
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        x = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+        if g is None:
+            d = x.shape[1]
+            g = np.zeros((d, d), dtype=np.int64)
+            s = np.zeros(d, dtype=np.int64)
+        g += x.T @ x  # exact: milli ints, |cell| << 2^63 at any real n
+        s += x.sum(axis=0)
+        c += x.shape[0]
+    if g is None:
+        return
+    d = g.shape[0]
+    iu, ju = np.triu_indices(d)
+    yield pd.DataFrame(
+        {
+            "i": np.concatenate([iu, np.arange(d), [-1]]).astype(np.int32),
+            "j": np.concatenate([ju, np.full(d, -1), [-1]]).astype(np.int32),
+            "m": np.concatenate([g[iu, ju], s, [c]]).astype(np.int64),
+        }
+    )
+
+
 @register("pca_xy")  # rows-only: eigendecomposition has no SQL oracle;
 # exactness is covered by the numpy pipeline-replay in tests/test_dimred.py
 def pca_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, x_milli, y_milli) — every embedding projected onto the
     top-2 principal components. The distributed part is two plans:
-    (1) exact integer moment aggregation (posexplode self-join on
-    vec_id → groupBy (i, j) sum), (2) broadcast-join projection; the
-    d×d eigh in between is driver-side by design (output of a full
-    reduce, size d², independent of n)."""
+    (1) exact integer moment aggregation — a per-partition numpy Gram in
+    mapInPandas emitting d(d+1)/2 + d + 1 partial rows per partition,
+    then one tiny groupBy-sum; (2) the projection itself, a pure column
+    expression (zip_with/aggregate dot with the eigenvectors as array
+    literals — the centering term folds into a scalar: Σ(v−μ)·e =
+    Σv·e − Σμ·e), zero shuffles. The d×d eigh in between is driver-side
+    by design (output of a full reduce, size d², independent of n)."""
     q = quantized_vectors(spark, sf_dir).select("vec_id", "qv")
-    vex = q.select("vec_id", F.posexplode("qv").alias("pos", "v")).persist()
 
-    # outer products via chained posexplode — a narrow pipeline straight
-    # into map-side partial aggregation; the only shuffle is d² rows per
-    # task (never the n·d² intermediate)
     mom_rows = (
-        q.select("qv", F.posexplode("qv").alias("i", "vi"))
-        .select("i", "vi", F.posexplode("qv").alias("j", "vj"))
+        q.select("qv")
+        .mapInPandas(_moment_partials, "i int, j int, m long")
         .groupBy("i", "j")
-        .agg(F.sum(F.col("vi") * F.col("vj")).alias("m"))
+        .agg(F.sum("m").alias("m"))
         .collect()
     )
-    sum_rows = vex.groupBy("pos").agg(
-        F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")
-    ).collect()
+    if not mom_rows:  # empty input: empty result, same schema
+        return spark.createDataFrame([], "vec_id long, x_milli long, y_milli long")
 
-    d = max(r["pos"] for r in sum_rows) + 1
-    n = sum_rows[0]["c"]
+    d = max(r["i"] for r in mom_rows) + 1
+    n = 0
     moments = np.zeros((d, d), dtype=np.float64)
-    for r in mom_rows:
-        moments[r["i"], r["j"]] = r["m"]
     sums = np.zeros(d, dtype=np.float64)
-    for r in sum_rows:
-        sums[r["pos"]] = r["s"]
+    for r in mom_rows:
+        if r["i"] == -1:
+            n = r["m"]
+        elif r["j"] == -1:
+            sums[r["i"]] = r["m"]
+        else:
+            moments[r["i"], r["j"]] = r["m"]
+            moments[r["j"], r["i"]] = r["m"]  # mirror the upper triangle
 
     top = _pca_eigvecs(moments, sums, n)
     eq = np.floor(top * 1_000_000 + 0.5).astype(np.int64)  # 1e-6 grid
     mq = np.floor(sums / n + 0.5).astype(np.int64)  # milli grid center
 
-    proj = spark.createDataFrame(
-        [(int(p), int(mq[p]), int(eq[0, p]), int(eq[1, p])) for p in range(d)],
-        "pos int, mq long, e1 long, e2 long",
+    # Σ_p (v_p − mq_p)·e_p  ==  Σ_p v_p·e_p − C  with C = Σ_p mq_p·e_p —
+    # same exact integers as the r3 join shape, but the mean-centering is
+    # a scalar literal and the dot is a JVM-side higher-order function:
+    # no explode, no join, no shuffle.
+    c1 = int((mq * eq[0]).sum())
+    c2 = int((mq * eq[1]).sum())
+    e1 = F.array(*[F.lit(int(v)) for v in eq[0]])
+    e2 = F.array(*[F.lit(int(v)) for v in eq[1]])
+    zero = F.lit(0).cast("long")
+
+    def dot(evec, cshift):
+        acc = F.aggregate(
+            F.zip_with(F.col("qv"), evec, lambda v, e: v * e),
+            zero,
+            lambda a, x: a + x,
+        ) - F.lit(cshift)
+        # qv is milli (1e-3), eq is 1e-6 → dot is 1e-9 of original units;
+        # x_milli = round(x * 1000) = floor(dot / 1e6 + 0.5)
+        return F.floor(acc / 1_000_000 + F.lit(0.5)).cast("long")
+
+    return q.select(
+        "vec_id", dot(e1, c1).alias("x_milli"), dot(e2, c2).alias("y_milli")
     )
-    dots = (
-        vex.join(F.broadcast(proj), "pos")
-        .groupBy("vec_id")
-        .agg(
-            F.sum((F.col("v") - F.col("mq")) * F.col("e1")).alias("d1"),
-            F.sum((F.col("v") - F.col("mq")) * F.col("e2")).alias("d2"),
-        )
-    )
-    # qv is milli (1e-3), eq is 1e-6 → dot is 1e-9 of original units;
-    # x_milli = round(x * 1000) = floor(dot / 1e6 + 0.5)
-    out = dots.select(
-        "vec_id",
-        F.floor(F.col("d1") / 1_000_000 + F.lit(0.5)).cast("long").alias("x_milli"),
-        F.floor(F.col("d2") / 1_000_000 + F.lit(0.5)).cast("long").alias("y_milli"),
-    ).localCheckpoint(eager=True)  # materialize while vex is cached,
-    vex.unpersist()  # then release the pinned explode
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -132,7 +181,8 @@ def pca_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the full pipeline from the parquet file and asserts EXACT equality.
 # ---------------------------------------------------------------------------
 
-_TSNE_M = 256  # landmarks (must stay <= 1024: tie-break key packs rank)
+_TSNE_M = 256  # landmarks (driver fit is O(m²·iters); raise freely —
+# the kNN tie-break is a stable argsort, no encoding bound on m)
 _TSNE_K = 5  # nearest landmarks per out-of-sample point
 
 
@@ -232,19 +282,17 @@ def _interp_landmarks(
     """Out-of-sample extension: each row of ``xq`` (b x d milli ints)
     gets the inverse-distance-weighted average of its k nearest
     landmarks' fitted coords (``yq``, m x 2 milli ints). Distances are
-    exact int64; ties break by landmark rank (key = d2 * 1024 + rank,
-    exact while m <= 1024). Pure function — the Arrow batch kernel and
-    the pytest replay call the same code."""
+    exact int64; ties break by landmark rank — the column order IS the
+    md5 rank, so a stable argsort breaks ties by rank with no bound on
+    m (r3 packed rank into the key's low 10 bits, capping m at 1024).
+    Pure function — the Arrow batch kernel and the pytest replay call
+    the same code."""
     m = lq.shape[0]
-    # rank is packed into the low bits of the sort key; m beyond that
-    # would silently corrupt the distance ordering instead of tie-breaks
-    assert m <= 1024, f"landmark count {m} exceeds the 1024 tie-break bound"
     k = min(k, m)
     xs = (xq * xq).sum(axis=1)
     ls = (lq * lq).sum(axis=1)
     d2 = xs[:, None] + ls[None, :] - 2 * (xq @ lq.T)  # exact int64
-    key = d2 * np.int64(1024) + np.arange(m, dtype=np.int64)
-    idx = np.argsort(key, axis=1)[:, :k]
+    idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
     dsel = np.take_along_axis(d2, idx, axis=1).astype(np.float64) / 1e6
     w = 1.0 / (1.0 + dsel)
     ysel = yq[idx].astype(np.float64) / 1000.0
@@ -294,6 +342,8 @@ def tsne_coords(q: DataFrame) -> DataFrame:
         ids_, lq_, yq_ = b.value
         pos = {int(v): i for i, v in enumerate(ids_)}
         for pdf in batches:
+            if len(pdf) == 0:  # upstream filters can hand us empty
+                continue  # Arrow batches; np.stack([]) would raise
             xq = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
             out = _interp_landmarks(xq, lq_, yq_)
             vids = pdf["vec_id"].to_numpy()

@@ -824,9 +824,7 @@ def graph_part_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle that replays LP as a recursive CTE and the Q algebra with
     the identical double expression. Global Q = sum(q_nano)/1e9."""
     edges = part_graph_edges(spark, sf_dir).select("src", "dst")
-    lab = label_propagation(
-        edges.withColumn("weight", F.lit(1.0)), max_iter=_LP_ITERS
-    )
+    lab = label_propagation(edges, max_iter=_LP_ITERS)
 
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -51,7 +51,15 @@ def test_tsne_xy_matches_full_pipeline_replay(spark):
     """Full replay from the parquet file: md5-rank landmark selection,
     driver t-SNE fit, int64 kNN-landmark interpolation — exact match
     (sf0.01: 500 rows, so 256 landmarks AND 244 interpolated rows both
-    exercise their paths)."""
+    exercise their paths).
+
+    Exactness contract is SAME-ENVIRONMENT only: the landmark fit rests
+    on np.linalg.eigh + 300 float64 gradient steps, whose last bits can
+    differ across numpy/BLAS builds. Engine and replay share one
+    process here, so equality is exact; on a different BLAS both sides
+    move together (the fit is driver-side, broadcast once), so the
+    engine stays self-consistent — only this cross-process pin would
+    need a tolerance."""
     import hashlib
 
     from citation_graph_spark.operators.dimred import (
@@ -114,6 +122,38 @@ def test_tsne_fit_separates_clusters_and_is_deterministic():
 
     # and the fit is deterministic run-to-run
     assert np.array_equal(y, _tsne_fit(qv))
+
+
+def test_interp_landmarks_unbounded_m_and_rank_tiebreak():
+    """r4: the kNN tie-break is a stable argsort on exact int64
+    distances (column order = md5 rank), so m is no longer capped at
+    1024. Property-check at m=2048 against an explicit per-row oracle
+    that sorts (d2, rank) pairs."""
+    from citation_graph_spark.operators.dimred import _TSNE_K, _interp_landmarks
+
+    rng = np.random.RandomState(7)
+    m, d, b = 2048, 16, 64
+    lq = rng.randint(-50, 50, size=(m, d)).astype(np.int64)  # dense grid
+    lq[100] = lq[200]  # force exact distance ties at distinct ranks
+    lq[5] = lq[1500]
+    yq = rng.randint(-5000, 5000, size=(m, 2)).astype(np.int64)
+    xq = rng.randint(-50, 50, size=(b, d)).astype(np.int64)
+    xq[0] = lq[100]  # query exactly on the tied pair
+
+    got = _interp_landmarks(xq, lq, yq)
+
+    for r in range(b):
+        d2 = ((lq - xq[r]) ** 2).sum(axis=1)
+        order = sorted(range(m), key=lambda j: (int(d2[j]), j))[:_TSNE_K]
+        w = 1.0 / (1.0 + d2[order].astype(np.float64) / 1e6)
+        y = (w[:, None] * (yq[order].astype(np.float64) / 1000.0)).sum(
+            axis=0
+        ) / w.sum()
+        want = np.floor(y * 1000 + 0.5).astype(np.int64)
+        assert np.array_equal(got[r], want), r
+
+    # deterministic run-to-run
+    assert np.array_equal(got, _interp_landmarks(xq, lq, yq))
 
 
 def test_tsne_coords_empty_input_returns_empty(spark):

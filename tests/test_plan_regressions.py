@@ -139,6 +139,19 @@ def test_silhouette_linear_metric_plan(stats):
     assert s["broadcast_joins"] >= 2
 
 
+def test_pca_xy_projection_zero_shuffle_no_explode(stats):
+    # r4: moments come from a per-partition mapInPandas Gram and the
+    # projection is a zip_with/aggregate column expression — the
+    # returned plan must have NO exchange, NO join, and NO Generate
+    # (a Generate here means the r3 n·d² posexplode shape came back,
+    # which is infeasible at the reference's 1536/3072-dim vectors)
+    s = stats("pca_xy")
+    assert s["exchanges"] == 0
+    assert s["sort_merge_joins"] == 0 and s["cartesian"] == 0
+    assert s["broadcast_joins"] == 0
+    assert "Generate" not in s["formatted"]
+
+
 def test_tsne_xy_transform_is_zero_shuffle(stats):
     # the out-of-sample interpolation is a broadcast + mapInPandas over
     # the scan: any Exchange/join here means the landmark design broke

@@ -84,6 +84,9 @@ def main() -> int:
             "hash_match": None,
             "spark_rows": None,
             "oracle_rows": None,
+            "oracle": True,  # False = rows-only by design (no SQL oracle);
+            # err stays None for those so consumers never read a passing
+            # rows-only query as a failure
             "err": None,
         }
         base.update(kw)
@@ -108,7 +111,7 @@ def main() -> int:
                 f"ok?   {name}: rows={len(rows)} (rows-only, no oracle)"
                 f" [{spark_wall:.1f}s]"
             )
-            record(name, spark_rows=len(rows), err="no_oracle")
+            record(name, spark_rows=len(rows), oracle=False)
             if len(rows) == 0:
                 print(f"WARN  {name}: zero rows")
             continue
