@@ -51,11 +51,12 @@ def boruvka_msf(
         return _boruvka_msf(edges, vertices, max_rounds)
 
 
-def _boruvka_msf(
-    edges: DataFrame, vertices: DataFrame | None, max_rounds: int
-) -> DataFrame:
-    spark = edges.sparkSession
-    e = (
+def normalize_edges(edges: DataFrame) -> DataFrame:
+    """Undirected-canonical (src<dst) edge lineage with parallel edges
+    collapsed to their cheapest weight — the per-call preamble of the
+    Borůvka loop, exposed unchecked-pointed so the plan-regression
+    suite can pin its shape (one groupBy exchange, no joins)."""
+    return (
         edges.select(
             F.least("src", "dst").alias("src"),
             F.greatest("src", "dst").alias("dst"),
@@ -64,8 +65,38 @@ def _boruvka_msf(
         .filter(F.col("src") != F.col("dst"))
         .groupBy("src", "dst")
         .agg(F.min("w").alias("w"))  # parallel edges: cheapest wins
-        .localCheckpoint(eager=True)
     )
+
+
+def nomination_lineage(e: DataFrame, labels: DataFrame) -> DataFrame:
+    """One Borůvka nomination as pure lineage: label both endpoints,
+    keep cross-component edges, and let every component nominate its
+    minimum outgoing edge under the strict total order (w, src, dst) —
+    the determinism contract.  Returns (comp, w, src, dst, other).
+
+    Exposed so tests/test_plan_regressions.py can pin the per-round
+    plan (bounded exchanges, no cartesian product): the loop below
+    runs exactly this lineage between localCheckpoints, so the pinned
+    shape IS the per-round cost at any scale."""
+    ls = labels.select(F.col("vid").alias("src"), F.col("comp").alias("cs"))
+    ld = labels.select(F.col("vid").alias("dst"), F.col("comp").alias("cd"))
+    live = e.join(ls, "src").join(ld, "dst").filter(F.col("cs") != F.col("cd"))
+    sym = live.select(
+        F.col("cs").alias("comp"), "w", "src", "dst", F.col("cd").alias("other")
+    ).unionByName(
+        live.select(
+            F.col("cd").alias("comp"), "w", "src", "dst", F.col("cs").alias("other")
+        )
+    )
+    win = Window.partitionBy("comp").orderBy("w", "src", "dst")
+    return sym.withColumn("rn", F.row_number().over(win)).filter(F.col("rn") == 1)
+
+
+def _boruvka_msf(
+    edges: DataFrame, vertices: DataFrame | None, max_rounds: int
+) -> DataFrame:
+    spark = edges.sparkSession
+    e = normalize_edges(edges).localCheckpoint(eager=True)
     if vertices is None:
         vertices = (
             e.select(F.col("src").alias("vid"))
@@ -78,31 +109,9 @@ def _boruvka_msf(
 
     forest_parts: list[DataFrame] = []
     for _ in range(max_rounds):
-        ls = labels.select(F.col("vid").alias("src"), F.col("comp").alias("cs"))
-        ld = labels.select(F.col("vid").alias("dst"), F.col("comp").alias("cd"))
-        live = (
-            e.join(ls, "src")
-            .join(ld, "dst")
-            .filter(F.col("cs") != F.col("cd"))
-            .localCheckpoint(eager=True)
-        )
-        if live.isEmpty():
+        sel = nomination_lineage(e, labels).localCheckpoint(eager=True)
+        if sel.isEmpty():  # no cross-component edge left anywhere
             break
-        # every component nominates its minimum outgoing edge under the
-        # strict total order (w, src, dst) — the determinism contract
-        sym = live.select(
-            F.col("cs").alias("comp"), "w", "src", "dst", F.col("cd").alias("other")
-        ).unionByName(
-            live.select(
-                F.col("cd").alias("comp"), "w", "src", "dst", F.col("cs").alias("other")
-            )
-        )
-        win = Window.partitionBy("comp").orderBy("w", "src", "dst")
-        sel = (
-            sym.withColumn("rn", F.row_number().over(win))
-            .filter(F.col("rn") == 1)
-            .localCheckpoint(eager=True)
-        )
         forest_parts.append(sel.select("src", "dst", "w").distinct())
 
         # contract: components joined by nominated edges merge.  The

@@ -99,6 +99,28 @@ def core_distances(pairs: DataFrame, min_samples: int) -> DataFrame:
     )
 
 
+def mr_lineage(pairs: DataFrame, core: DataFrame) -> DataFrame:
+    """Mutual-reachability edge lineage (src, dst, w) from symmetric
+    ε-pairs (v1, v2, dist2) and per-point core distances — exposed
+    unchecked-pointed so the plan-regression suite can pin the shape
+    end-to-end (candidate generation → core window → this join must
+    never contain a cartesian product)."""
+    return (
+        pairs.filter(F.col("v1") < F.col("v2"))
+        .join(
+            core.select(F.col("vec_id").alias("v1"), F.col("core2").alias("ca")), "v1"
+        )
+        .join(
+            core.select(F.col("vec_id").alias("v2"), F.col("core2").alias("cb")), "v2"
+        )
+        .select(
+            F.col("v1").alias("src"),
+            F.col("v2").alias("dst"),
+            F.greatest("dist2", "ca", "cb").alias("w"),
+        )
+    )
+
+
 def mutual_reachability_edges(
     emb: DataFrame,
     eps2_max: int = _EPS2_MAX,
@@ -117,21 +139,7 @@ def mutual_reachability_edges(
         emb, eps2_max, candidates, nprobe=nprobe, keep_dist2=True
     ).persist()
     core = core_distances(pairs, min_samples).persist()
-    mr = (
-        pairs.filter(F.col("v1") < F.col("v2"))
-        .join(
-            core.select(F.col("vec_id").alias("v1"), F.col("core2").alias("ca")), "v1"
-        )
-        .join(
-            core.select(F.col("vec_id").alias("v2"), F.col("core2").alias("cb")), "v2"
-        )
-        .select(
-            F.col("v1").alias("src"),
-            F.col("v2").alias("dst"),
-            F.greatest("dist2", "ca", "cb").alias("w"),
-        )
-        .localCheckpoint(eager=True)
-    )
+    mr = mr_lineage(pairs, core).localCheckpoint(eager=True)
     pairs.unpersist()
     return mr, core
 

@@ -139,6 +139,67 @@ def test_silhouette_linear_metric_plan(stats):
     assert s["broadcast_joins"] >= 2
 
 
+def test_density_ivf_eps_join_never_cartesian(spark):
+    """The density family's whole scale claim rests on the IVF ε-join
+    not silently regressing to all-pairs: pin the candidate-generation
+    → exact-verify lineage for the _ivf queries (reference parity
+    being protected: clustering/hdbscan.py:36-42, dbscan.py:39-45)."""
+    from citation_graph_spark.operators.dbscan import _EPS2, eps_pairs
+    from citation_graph_spark.tables import load_tables
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    with static_plans(spark):
+        s = plan_stats(eps_pairs(emb, _EPS2, candidates="ivf"))
+    assert s["cartesian"] == 0
+    assert s["exchanges"] <= 12
+
+
+def test_hdbscan_mutual_reachability_lineage_never_cartesian(spark):
+    """hdbscan's graph construction end-to-end (ε-pairs → core-distance
+    window → greatest() join) in IVF mode: sub-quadratic, no cartesian."""
+    from citation_graph_spark.operators.density import (
+        _EPS2_MAX,
+        _MIN_SAMPLES,
+        core_distances,
+        mr_lineage,
+    )
+    from citation_graph_spark.operators.dbscan import eps_pairs
+    from citation_graph_spark.tables import load_tables
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    with static_plans(spark):
+        pairs = eps_pairs(emb, _EPS2_MAX, candidates="ivf", keep_dist2=True)
+        s = plan_stats(mr_lineage(pairs, core_distances(pairs, _MIN_SAMPLES)))
+    assert s["cartesian"] == 0
+    assert s["exchanges"] <= 20
+
+
+def test_boruvka_round_bounded_exchanges(spark):
+    """One Borůvka nomination round (the exact lineage the MSF loop
+    checkpoints) must stay a constant number of joins + one window —
+    bounded exchanges, no cartesian — so O(log n) rounds is the whole
+    kernel cost."""
+    from citation_graph_spark.graph.msf import nomination_lineage, normalize_edges
+
+    e = normalize_edges(
+        spark.createDataFrame([(1, 2, 5), (2, 3, 1)], "src long, dst long, w long")
+    )
+    labels = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "vid long, comp long")
+    with static_plans(spark):
+        s = plan_stats(nomination_lineage(e, labels))
+    assert s["cartesian"] == 0
+    assert s["exchanges"] <= 12
+
+
+def test_graph_part_modularity_no_cartesian_product(stats):
+    s = stats("graph_part_modularity")
+    # the only nested-loop join allowed is the broadcast of the 1-row
+    # edge-count total; a real CartesianProduct must never appear
+    assert "CartesianProduct" not in s["formatted"]
+    assert s["cartesian"] <= 2  # BroadcastNestedLoopJoin mentions of the 1-row total
+    assert s["exchanges"] <= 22
+
+
 def test_pca_xy_projection_zero_shuffle_no_explode(stats):
     # r4: moments come from a per-partition mapInPandas Gram and the
     # projection is a zip_with/aggregate column expression — the
