@@ -42,6 +42,10 @@ HEADLINE = [
     "graph_part_components",
     "graph_part_pagerank",
     "graph_part_triangles",
+    # r4: the density family's scale paths — regressions in the IVF
+    # ε-join or the Borůvka MSF show up as numbers, not just plans
+    "dbscan_embedding_ivf",
+    "hdbscan_embedding_ivf",
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

@@ -208,11 +208,18 @@ def hdbscan_cut_labels(
 
 
 def _hdbscan_oracle(
-    eps2_max: int, min_samples: int, min_cluster_size: int, levels: tuple[int, ...]
+    eps2_max: int,
+    min_samples: int,
+    min_cluster_size: int,
+    levels: tuple[int, ...],
+    ivf: bool = False,
 ) -> str:
     """DuckDB replay: same core distances and mutual-reachability graph,
     but components per level straight off the graph (recursive CTE) —
-    no MSF — so agreement proves forest cuts ≡ graph cuts."""
+    no MSF — so agreement proves forest cuts ≡ graph cuts.  ``ivf``
+    swaps the exact all-pairs ε-graph for the shared IVF blocking spec
+    (dedup.ivf_cand_ctes), mirroring the engine's ``candidates="ivf"``
+    path so the blocked pipeline is checked end-to-end too."""
     k = min_samples - 1
     reach_ctes = ",\n".join(
         f"""
@@ -242,8 +249,30 @@ def _hdbscan_oracle(
     selects = "\n    UNION ALL\n    ".join(
         f"SELECT level, vec_id, cluster FROM lab{i}" for i in range(len(levels))
     )
-    return f"""
-    WITH RECURSIVE q AS (
+    if ivf:
+        from citation_graph_spark.operators.dedup import ivf_cand_ctes
+
+        graph_ctes = f"""q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> cast(floor(cast(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    {ivf_cand_ctes(_IVF_NPROBE_EPS)},
+    n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS nrm FROM q),
+    sym AS (
+      SELECT v1, v2 FROM cand
+      UNION ALL
+      SELECT v2 AS v1, v1 AS v2 FROM cand
+    ),
+    pairs AS (
+      SELECT s.v1, s.v2,
+             a.nrm + b.nrm - 2 * list_dot_product(a.qv, b.qv) AS dist2
+      FROM sym s JOIN n a ON s.v1 = a.vec_id JOIN n b ON s.v2 = b.vec_id
+      WHERE a.nrm + b.nrm - 2 * list_dot_product(a.qv, b.qv) <= {eps2_max}
+    )"""
+    else:
+        graph_ctes = f"""q AS (
       SELECT vec_id,
              list_transform(embedding,
                x -> cast(floor(cast(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
@@ -255,7 +284,9 @@ def _hdbscan_oracle(
              a.nrm + b.nrm - 2 * list_dot_product(a.qv, b.qv) AS dist2
       FROM n a JOIN n b ON a.vec_id <> b.vec_id
       WHERE a.nrm + b.nrm - 2 * list_dot_product(a.qv, b.qv) <= {eps2_max}
-    ),
+    )"""
+    return f"""
+    WITH RECURSIVE {graph_ctes},
     core AS (
       SELECT v1 AS vec_id, dist2 AS core2 FROM (
         SELECT v1, dist2,
@@ -290,3 +321,22 @@ def hdbscan_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engine must use exact candidates at every scale ("auto" would
     # switch to IVF blocking above its threshold and diverge)
     return hdbscan_cut_labels(emb, candidates="all_pairs")
+
+
+@register(
+    "hdbscan_embedding_ivf",
+    oracle=_hdbscan_oracle(
+        _EPS2_MAX, _MIN_SAMPLES, _MIN_CLUSTER_SIZE, _LEVELS, ivf=True
+    ),
+)
+def hdbscan_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for ``hdbscan_embedding``: the identical core-
+    distance → mutual-reachability → Borůvka MSF → level-cut pipeline,
+    but with the ε-graph built from IVF shared-inverted-list candidates
+    (the generator already gate-proven by dedup_embedding_ivf and
+    dbscan_embedding_ivf).  The DuckDB oracle replays the same blocking,
+    so this row checks the blocked density hierarchy end-to-end; the
+    recall trade vs the exact ε-graph is pinned in tests/test_dbscan.py
+    for the shared candidate source."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return hdbscan_cut_labels(emb, candidates="ivf")

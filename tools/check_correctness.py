@@ -17,7 +17,6 @@ artifact.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import sys
 import time
@@ -34,31 +33,8 @@ if _args and _args[0] == "--json":
 SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
 ONLY = set(_args[1:])
 
+from citation_graph_spark.compare import norm_val, table_hash  # noqa: E402
 from citation_graph_spark.tables import TABLE_NAMES  # noqa: E402
-
-
-def norm_val(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return str(int(v))
-    if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.10g}"
-    return str(v)
-
-
-def table_hash(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    lines = sorted(
-        "\x01".join(norm_val(r[i]) for i in order) for r in rows
-    )
-    h = hashlib.sha256()
-    for ln in lines:
-        h.update(ln.encode())
-        h.update(b"\n")
-    return h.hexdigest()[:16]
 
 
 def main() -> int:
