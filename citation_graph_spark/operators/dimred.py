@@ -322,19 +322,20 @@ def _tsne_landmarks(q: DataFrame):
     return ids, mat
 
 
-def tsne_coords(q: DataFrame) -> DataFrame:
-    """(vec_id, qv) → (vec_id, x_milli, y_milli) — t-SNE plane for
-    every quantized vector: exact t-SNE on m=256 deterministic
-    landmarks (driver, O(m^2), independent of n), all other rows
-    interpolated from their K=5 nearest landmarks in one zero-shuffle
-    mapInPandas pass."""
+def _landmark_coords(q: DataFrame, fit) -> DataFrame:
+    """(vec_id, qv) → (vec_id, x_milli, y_milli) — shared landmark
+    serving shape for the 2-D embedding family (t-SNE, UMAP): ``fit``
+    maps the m×d milli landmark matrix to m×2 float coords on the
+    driver (O(m²·iters), independent of n); every other row is
+    interpolated from its K nearest landmarks in one zero-shuffle
+    mapInPandas pass over a broadcast m×(d+2) int matrix."""
     import pandas as pd
 
     spark = q.sparkSession
     lm_ids, lm_mat = _tsne_landmarks(q)
     if lm_ids.size == 0:  # empty input: empty result, same schema
         return spark.createDataFrame([], "vec_id long, x_milli long, y_milli long")
-    yq = np.floor(_tsne_fit(lm_mat) * 1000 + 0.5).astype(np.int64)
+    yq = np.floor(fit(lm_mat) * 1000 + 0.5).astype(np.int64)
 
     b = spark.sparkContext.broadcast((lm_ids, lm_mat, yq))
 
@@ -362,8 +363,150 @@ def tsne_coords(q: DataFrame) -> DataFrame:
     return q.mapInPandas(part, "vec_id long, x_milli long, y_milli long")
 
 
+def tsne_coords(q: DataFrame) -> DataFrame:
+    """Landmark t-SNE serving: exact t-SNE fit on m deterministic
+    landmarks, zero-shuffle interpolation for everyone else."""
+    return _landmark_coords(q, _tsne_fit)
+
+
 @register("tsne_xy")  # rows-only: iterative KL-gradient fit has no SQL
 # oracle; exactness is the full-pipeline replay in tests/test_dimred.py
 def tsne_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark t-SNE coordinates for the embeddings table."""
     return tsne_coords(quantized_vectors(spark, sf_dir).select("vec_id", "qv"))
+
+
+# ---------------------------------------------------------------------------
+# UMAP coordinate serving (reference run_umap.py:27-37, the third of the
+# ExtendedArticle coordinate fields, schemas.py:137-139). umap-learn's
+# layout phase is stochastic-gradient with negative sampling and no seed
+# discipline; the engine instead descends the SAME cross-entropy
+# objective (McInnes, Healy & Melville 2018, eqn 12 — negative sampling
+# is an estimator of exactly this gradient) in deterministic full batch:
+#   1. the fuzzy simplicial set over the landmark kNN graph (rho = NN
+#      distance, per-point sigma by binary search to hit log2(k) mass,
+#      probabilistic t-conorm symmetrization a + aT - a∘aT);
+#   2. spectral init (normalized-Laplacian eigenvectors, pca_xy's sign
+#      convention);
+#   3. full-batch gradient of the cross-entropy under the standard
+#      low-dim curve 1/(1 + a·d^{2b}), per-pair displacement clipped to
+#      ±4 and a linearly decaying step, exactly umap-learn's schedule —
+#      minus the RNG.
+# Same scale/distribution story as t-SNE above: the fit is O(m²·iters)
+# on the driver, independent of n; serving is the shared zero-shuffle
+# interpolation pass. Determinism: no RNG anywhere; exactness is the
+# full-pipeline replay in tests/test_dimred.py (same same-environment
+# BLAS contract as the t-SNE pin).
+# ---------------------------------------------------------------------------
+
+_UMAP_K = 15  # kNN-graph degree (umap-learn's n_neighbors default)
+# curve constants for min_dist=0.1, spread=1.0 (umap-learn's published
+# defaults for find_ab_params — fixed here so no scipy fit is needed)
+_UMAP_A = 1.5769434603113077
+_UMAP_B = 0.8950608779109733
+
+
+def _umap_graph(lq: np.ndarray, k: int = _UMAP_K) -> np.ndarray:
+    """Symmetric fuzzy-simplicial-set weights over the landmark kNN
+    graph. Distances are exact int64 squared milli distances; kNN ties
+    break by landmark rank (stable argsort on the int matrix)."""
+    m = lq.shape[0]
+    k = min(k, m - 1)
+    if k <= 0:
+        return np.zeros((m, m))
+    ls = (lq * lq).sum(axis=1)
+    d2 = ls[:, None] + ls[None, :] - 2 * (lq @ lq.T)  # exact int64
+    dist = np.sqrt(np.maximum(d2, 0).astype(np.float64)) / 1000.0
+    a = np.zeros((m, m))
+    target = np.log2(k + 1)
+    for i in range(m):
+        order = np.argsort(d2[i], kind="stable")
+        nbrs = order[order != i][:k]
+        di = dist[i, nbrs]
+        pos = di[di > 0]
+        rho = float(pos.min()) if pos.size else 0.0
+        gap = np.maximum(di - rho, 0.0)
+        # binary search sigma so Σ exp(-gap/sigma) == log2(k+1)
+        lo, hi, sigma = 0.0, np.inf, 1.0
+        for _ in range(64):
+            s = float(np.exp(-gap / sigma).sum())
+            if abs(s - target) < 1e-5:
+                break
+            if s > target:
+                hi = sigma
+                sigma = (lo + hi) / 2.0
+            else:
+                lo = sigma
+                sigma = sigma * 2.0 if hi == np.inf else (lo + hi) / 2.0
+        sigma = max(sigma, 1e-12)
+        a[i, nbrs] = np.exp(-gap / sigma)
+    return a + a.T - a * a.T  # probabilistic t-conorm
+
+
+def _umap_spectral_init(w: np.ndarray) -> np.ndarray:
+    """Deterministic init: eigenvectors 2..3 of the symmetric
+    normalized Laplacian (ascending eigh order), pca_xy sign
+    convention, scaled to umap-learn's 10-unit init box."""
+    deg = np.maximum(w.sum(axis=1), 1e-12)
+    dinv = 1.0 / np.sqrt(deg)
+    lap = np.eye(w.shape[0]) - dinv[:, None] * w * dinv[None, :]
+    evals, evecs = np.linalg.eigh(lap)
+    y = evecs[:, np.argsort(evals)[1:3]].copy()
+    for i in range(y.shape[1]):
+        j = int(np.argmax(np.abs(y[:, i])))
+        if y[j, i] < 0:
+            y[:, i] = -y[:, i]
+    amax = np.abs(y).max()
+    if amax > 0:
+        y = y / amax * 10.0
+    return y
+
+
+_UMAP_NEG_RATE = 5  # umap-learn's negative_sample_rate default
+
+
+def _umap_fit(lq: np.ndarray, k: int = _UMAP_K, iters: int = 400) -> np.ndarray:
+    """Deterministic full-batch UMAP layout of the milli landmark
+    matrix; returns m x 2 float coords. No RNG: the negative-sampling
+    estimator is replaced by the (1-w)-weighted repulsive term of the
+    same cross-entropy gradient, scaled by neg_rate·k/(m−1) — the
+    expected fraction of pairs umap-learn's sampler actually repels per
+    epoch (5 negatives per positive edge vs all m−1 in full batch), so
+    the attraction/repulsion balance matches the reference algorithm
+    rather than the unsampled objective, which over-inflates clusters."""
+    m = lq.shape[0]
+    if m <= 2:
+        return np.zeros((m, 2))
+    w = _umap_graph(lq, k)
+    y = _umap_spectral_init(w)
+    a, b = _UMAP_A, _UMAP_B
+    rep_scale = min(1.0, _UMAP_NEG_RATE * min(k, m - 1) / (m - 1))
+    for it in range(iters):
+        alpha = 1.0 - it / iters
+        diff = y[:, None, :] - y[None, :, :]
+        d2 = (diff * diff).sum(axis=-1)
+        d2s = np.maximum(d2, 1e-12)
+        d2b = d2s**b
+        att = -2.0 * a * b * d2s ** (b - 1.0) / (1.0 + a * d2b)
+        rep = 2.0 * b / ((0.001 + d2s) * (1.0 + a * d2b))
+        coef = w * att + rep_scale * (1.0 - w) * rep
+        np.fill_diagonal(coef, 0.0)
+        coef[d2 == 0.0] = 0.0  # coincident points: no direction
+        disp = np.clip(coef[:, :, None] * diff, -4.0, 4.0).sum(axis=1)
+        y = y + alpha * disp
+        y = y - y.mean(axis=0)
+    return y
+
+
+def umap_coords(q: DataFrame) -> DataFrame:
+    """Landmark UMAP serving: deterministic full-batch UMAP fit on m
+    deterministic landmarks, zero-shuffle interpolation for everyone
+    else (the shared `_landmark_coords` pass)."""
+    return _landmark_coords(q, _umap_fit)
+
+
+@register("umap_xy")  # rows-only: cross-entropy layout descent has no
+# SQL oracle; exactness is the full-pipeline replay in tests/test_dimred.py
+def umap_xy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark UMAP coordinates for the embeddings table."""
+    return umap_coords(quantized_vectors(spark, sf_dir).select("vec_id", "qv"))

@@ -163,3 +163,91 @@ def test_tsne_coords_empty_input_returns_empty(spark):
     out = tsne_coords(q)
     assert out.count() == 0
     assert out.columns == ["vec_id", "x_milli", "y_milli"]
+
+
+def test_umap_xy_matches_full_pipeline_replay(spark):
+    """Full replay from the parquet file: md5-rank landmark selection,
+    driver UMAP fit, int64 kNN-landmark interpolation — exact match
+    (same same-environment BLAS contract as the t-SNE pin above)."""
+    import hashlib
+
+    from citation_graph_spark.operators.dimred import (
+        _TSNE_M,
+        _interp_landmarks,
+        _umap_fit,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    pdf = pd.read_parquet(f"{sf}/embeddings.parquet")
+    x = np.stack(pdf["embedding"].to_numpy())
+    qv = np.floor(x.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+    vids = pdf["vec_id"].to_numpy().astype(np.int64)
+
+    order = sorted(
+        range(len(vids)),
+        key=lambda i: (hashlib.md5(str(vids[i]).encode()).hexdigest(), vids[i]),
+    )[:_TSNE_M]
+    lm_ids = vids[order]
+    lm_mat = qv[order]
+    yq = np.floor(_umap_fit(lm_mat) * 1000 + 0.5).astype(np.int64)
+
+    out = _interp_landmarks(qv, lm_mat, yq)
+    pos = {int(v): i for i, v in enumerate(lm_ids)}
+    for r in range(len(vids)):
+        j = pos.get(int(vids[r]))
+        if j is not None:
+            out[r] = yq[j]
+    want = {int(vids[r]): (int(out[r, 0]), int(out[r, 1])) for r in range(len(vids))}
+
+    got = {
+        r["vec_id"]: (r["x_milli"], r["y_milli"])
+        for r in operators.QUERIES["umap_xy"](spark, sf).collect()
+    }
+    assert got == want
+    assert len(got) == len(vids)
+
+
+def test_umap_fit_separates_clusters_and_is_deterministic():
+    """Same blob invariant as the t-SNE fit: well-separated Gaussian
+    blobs must come out far tighter within than across clusters in the
+    UMAP plane, and the fit must be bit-identical run-to-run."""
+    from citation_graph_spark.operators.dimred import _umap_fit
+
+    rng = np.random.RandomState(0)
+    centers = rng.randn(3, 16) * 8.0
+    labels = np.repeat(np.arange(3), 60)
+    x = centers[labels] + rng.randn(180, 16)
+    qv = np.floor(x * 1000 + 0.5).astype(np.int64)
+
+    y = _umap_fit(qv)
+    d = np.sqrt(((y[:, None, :] - y[None, :, :]) ** 2).sum(-1))
+    same = labels[:, None] == labels[None, :]
+    np.fill_diagonal(same, False)
+    intra = d[same].mean()
+    inter = d[~same & ~np.eye(len(y), dtype=bool)].mean()
+    assert intra * 3 < inter
+
+    assert np.array_equal(y, _umap_fit(qv))
+
+
+def test_umap_graph_fuzzy_set_invariants():
+    """Output invariants of the fuzzy simplicial set (UMAP §3.1):
+    symmetric, weights in [0, 1], every row supports at least its k
+    nearest neighbors, and each point's nearest neighbor carries weight
+    exactly 1 (gap = d − rho = 0 at the NN ⇒ exp(0) = 1, preserved by
+    the t-conorm a + aT − a·aT since 1 + x − x = 1)."""
+    from citation_graph_spark.operators.dimred import _UMAP_K, _umap_graph
+
+    rng = np.random.RandomState(3)
+    qv = rng.randint(-4000, 4000, size=(120, 24)).astype(np.int64)
+    m = qv.shape[0]
+    k = min(_UMAP_K, m - 1)
+    w = _umap_graph(qv)
+    assert np.allclose(w, w.T)
+    assert w.min() >= 0.0 and w.max() <= 1.0 + 1e-12
+    assert np.all((w > 0).sum(axis=1) >= k)
+    ls = (qv * qv).sum(axis=1)
+    d2 = ls[:, None] + ls[None, :] - 2 * (qv @ qv.T)
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    nn = np.argmin(d2, axis=1)
+    assert np.allclose(w[np.arange(m), nn], 1.0)

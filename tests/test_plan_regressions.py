@@ -220,3 +220,12 @@ def test_tsne_xy_transform_is_zero_shuffle(stats):
     assert s["exchanges"] == 0
     assert s["sort_merge_joins"] == 0 and s["cartesian"] == 0
     assert s["broadcast_joins"] == 0
+
+
+def test_umap_xy_transform_is_zero_shuffle(stats):
+    # same serving pass as tsne_xy (shared _landmark_coords): zero
+    # exchanges, zero joins in the returned transform plan
+    s = stats("umap_xy")
+    assert s["exchanges"] == 0
+    assert s["sort_merge_joins"] == 0 and s["cartesian"] == 0
+    assert s["broadcast_joins"] == 0
