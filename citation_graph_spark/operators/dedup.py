@@ -641,3 +641,68 @@ def dedup_groups_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("group_id"),
         (F.col("vid") == F.col("component")).alias("is_kept"),
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    bench AS (
+      SELECT DISTINCT shingle FROM shingles WHERE doc_id % 100 = 0
+    ),
+    ev AS (SELECT * FROM shingles WHERE doc_id % 100 <> 0),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY doc_id),
+    hits AS (
+      SELECT ev.doc_id, count(*) AS n_hit
+      FROM ev JOIN bench ON ev.shingle = bench.shingle
+      GROUP BY ev.doc_id
+    )
+    SELECT s.doc_id,
+           s.n_shingles,
+           cast(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           floor(coalesce(h.n_hit, 0) * 10000.0 / s.n_shingles + 0.5)
+             AS contam_r4
+    FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: for every training document, the
+    fraction of its distinct word-trigram shingles that also appear in
+    a held-out evaluation set (stand-in: docs with doc_id % 100 == 0 —
+    deterministic, so both engines see the same split). The standard
+    pre-training decontamination pass (n-gram overlap against eval
+    suites, GPT-3 appendix C style).
+
+    Scale shape: the benchmark side is DISTINCT shingles of the eval
+    suite — eval sets are small and fixed by construction, so it is
+    broadcast (plan has no shuffle for the probe join); the training
+    side streams through map-side, then one groupBy(doc_id) partial
+    agg. At 100 TB the cost is one scan + one doc_id-keyed shuffle of
+    per-doc counters."""
+    d = load_tables(spark, sf_dir)["documents"]
+    sh = _shingles(d).persist()
+    bench = sh.filter(F.col("doc_id") % 100 == 0).select("shingle").distinct()
+    ev = sh.filter(F.col("doc_id") % 100 != 0)
+    sizes = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        ev.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    out = (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.floor(
+                F.coalesce(F.col("n_hit"), F.lit(0)) * 10000.0
+                / F.col("n_shingles")
+                + F.lit(0.5)
+            ).alias("contam_r4"),
+        )
+        .localCheckpoint(eager=True)  # materialize, then release shingles
+    )
+    sh.unpersist()
+    return out

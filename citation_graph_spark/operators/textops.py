@@ -257,3 +257,99 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nc").cast("long").alias("chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "doc_repetition",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      FROM documents
+    ),
+    tc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+    ta AS (
+      SELECT doc_id,
+             cast(sum(c) AS BIGINT)  AS n_tokens,
+             cast(count(*) AS BIGINT) AS n_uniq,
+             cast(max(c) AS BIGINT)  AS top_cnt
+      FROM tc GROUP BY doc_id
+    ),
+    tri AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS nt,
+             len(list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 1, 1)),
+               i -> string_split_regex(trim(text), '\s+')[i] || ' '
+                 || string_split_regex(trim(text), '\s+')[i + 1] || ' '
+                 || string_split_regex(trim(text), '\s+')[i + 2]
+             ))) AS n_uniq_tri
+      FROM documents
+    )
+    SELECT ta.doc_id,
+           ta.n_tokens,
+           floor((ta.n_tokens - ta.n_uniq) * 10000.0 / ta.n_tokens + 0.5)
+             AS dup_token_r4,
+           floor(ta.top_cnt * 10000.0 / ta.n_tokens + 0.5) AS top_token_r4,
+           CASE WHEN tri.nt >= 3
+                THEN floor((tri.nt - 2 - tri.n_uniq_tri) * 10000.0
+                           / (tri.nt - 2) + 0.5)
+                ELSE 0 END AS dup_trigram_r4
+    FROM ta JOIN tri ON ta.doc_id = tri.doc_id
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate
+    token fraction, most-frequent-token share, duplicate word-trigram
+    fraction (ratios quantized to 1e-4 integers, exact cross-engine).
+    The standard pre-training repetition filter (Rae et al. 2021 §A1.1
+    style); high values flag boilerplate / degenerate generations.
+
+    Scale shape: trigram distinctness is a pure column expression
+    (transform + array_distinct — no Generate); token frequencies use
+    one explode whose groupBy(doc_id, w) partially aggregates map-side,
+    so shuffle volume is per-doc vocabulary, not token count. Everything
+    joins back on doc_id — one co-partitioned shuffle at 100 TB."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    tc = (
+        d.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_uniq"),
+            F.max("c").alias("top_cnt"),
+        )
+    )
+    tri_arr = F.expr(
+        "array_distinct(transform("
+        "  sequence(0, size(split(trim(text), '\\\\s+')) - 3),"
+        "  i -> concat_ws(' ', split(trim(text), '\\\\s+')[i],"
+        "       split(trim(text), '\\\\s+')[i+1],"
+        "       split(trim(text), '\\\\s+')[i+2])))"
+    )
+    tri = d.select(
+        "doc_id",
+        F.size(toks).alias("nt"),
+        F.when(F.size(toks) >= 3, F.size(tri_arr)).otherwise(0).alias("n_uniq_tri"),
+    )
+
+    def r4(num, den):
+        return F.floor(num * 10000.0 / den + F.lit(0.5))
+
+    return tc.join(tri, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        r4(F.col("n_tokens") - F.col("n_uniq"), F.col("n_tokens")).alias(
+            "dup_token_r4"
+        ),
+        r4(F.col("top_cnt"), F.col("n_tokens")).alias("top_token_r4"),
+        F.when(
+            F.col("nt") >= 3,
+            r4(F.col("nt") - 2 - F.col("n_uniq_tri"), F.col("nt") - 2),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_r4"),
+    )
