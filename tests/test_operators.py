@@ -92,5 +92,6 @@ def test_rows_only_queries_have_kernel_oracles():
         "kmeans_model_selection",
         "kmeans_pareto_front",
         "tsne_xy",
+        "umap_xy",  # full numpy pipeline-replay oracle in test_dimred
     }
     assert all(n.startswith("corpus_") or n in allowed for n in rows_only), rows_only
