@@ -682,6 +682,17 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc counters."""
     d = load_tables(spark, sf_dir)["documents"]
     sh = _shingles(d).persist()
+    out = contamination_lineage(sh).localCheckpoint(
+        eager=True  # materialize, then release shingles
+    )
+    sh.unpersist()
+    return out
+
+
+def contamination_lineage(sh: DataFrame) -> DataFrame:
+    """Pre-checkpoint plan of benchmark_contamination over a shingle
+    set — exposed so the plan audit can pin the broadcast probe join
+    (the registered query materializes via localCheckpoint)."""
     bench = sh.filter(F.col("doc_id") % 100 == 0).select("shingle").distinct()
     ev = sh.filter(F.col("doc_id") % 100 != 0)
     sizes = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -690,19 +701,13 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
-    out = (
-        sizes.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
-            F.floor(
-                F.coalesce(F.col("n_hit"), F.lit(0)) * 10000.0
-                / F.col("n_shingles")
-                + F.lit(0.5)
-            ).alias("contam_r4"),
-        )
-        .localCheckpoint(eager=True)  # materialize, then release shingles
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.floor(
+            F.coalesce(F.col("n_hit"), F.lit(0)) * 10000.0
+            / F.col("n_shingles")
+            + F.lit(0.5)
+        ).alias("contam_r4"),
     )
-    sh.unpersist()
-    return out

@@ -229,3 +229,37 @@ def test_umap_xy_transform_is_zero_shuffle(stats):
     assert s["exchanges"] == 0
     assert s["sort_merge_joins"] == 0 and s["cartesian"] == 0
     assert s["broadcast_joins"] == 0
+
+
+def test_doc_repetition_single_doc_shuffle_no_generate_for_trigrams(stats):
+    # token-frequency branch: explode -> groupBy(doc_id, w) partially
+    # aggregates map-side; trigram distinctness is transform +
+    # array_distinct (a column expression, no second Generate). The
+    # whole plan must stay bounded: the doc_id re-joins hash-shuffle
+    # but never sort-merge a cartesian.
+    s = stats("doc_repetition")
+    assert s["cartesian"] == 0
+    # formatted plans mention each node twice (tree + detail): one
+    # Generate node == 2 string hits
+    assert s["formatted"].count("Generate") <= 2, "trigram branch regressed to explode"
+    assert s["exchanges"] <= 5
+
+
+def test_benchmark_contamination_probe_join_is_broadcast(spark):
+    # the eval-shingle side is small by construction; a regression to
+    # sort-merge (or cartesian) here shuffles the full training corpus
+    # by shingle at 100 TB
+    from citation_graph_spark.operators.dedup import (
+        _shingles,
+        contamination_lineage,
+    )
+    from citation_graph_spark.tables import load_tables
+
+    with static_plans(spark):
+        s = plan_stats(
+            contamination_lineage(
+                _shingles(load_tables(spark, SF_DIR)["documents"])
+            )
+        )
+    assert s["cartesian"] == 0
+    assert s["broadcast_joins"] >= 1, "eval probe join no longer broadcast"

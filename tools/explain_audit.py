@@ -40,6 +40,8 @@ AUDIT = [
     ("eps_pairs_ivf", "density-family ε-join, IVF mode: inverted-list equi-join + exact verify, no cartesian"),
     ("mutual_reachability_ivf", "hdbscan graph lineage: ε-pairs → core window → greatest() join"),
     ("boruvka_round", "one MSF nomination round: 2 joins + union + window, bounded exchanges"),
+    ("doc_repetition", "Gopher repetition signals: token explode partial-agg + no-Generate trigram distinctness, one doc_id shuffle"),
+    ("benchmark_contamination", "decontamination probe: eval-shingle side must BROADCAST (lineage audited pre-checkpoint)"),
 ]
 
 
@@ -94,6 +96,15 @@ def _lineage(spark, name: str):
             [(1, 1), (2, 2), (3, 3)], "vid long, comp long"
         )
         return nomination_lineage(e, labels)
+    if name == "benchmark_contamination":
+        from citation_graph_spark.operators.dedup import (
+            _shingles,
+            contamination_lineage,
+        )
+
+        return contamination_lineage(
+            _shingles(load_tables(spark, SF_DIR)["documents"])
+        )
     return None
 
 
