@@ -157,8 +157,18 @@ def hdbscan_cut_labels(
 
     cluster = min vec_id of the component (deterministic,
     order-insensitive, SURVEY §7.2(c)); −1 is noise.  One MSF serves
-    every level — per level only a forest filter + component run over
-    ≤ n−1 edges."""
+    every level, and the level cuts are INCREMENTAL: only the lowest
+    level runs connected components over the full n-vertex forest;
+    every higher level contracts the previous level's components to
+    supervertices and runs CC on the quotient graph (vertices = the
+    previous level's component ids, edges = forest edges with
+    prev < w ≤ level, endpoints mapped to their component).  Cuts of
+    the same forest are nested, so quotient connectivity equals direct
+    connectivity, and because each component id is already the min vid
+    of its members, the quotient CC's min-label IS the merged
+    component's min vid — the labelling semantics compose exactly.
+    At scale this turns an O(levels) full-graph CC bill into one
+    full-graph CC plus (levels−1) runs over #components-sized graphs."""
     mr, core = mutual_reachability_edges(
         emb, eps2_max, min_samples, candidates, nprobe
     )
@@ -172,13 +182,60 @@ def hdbscan_cut_labels(
     core.unpersist()
 
     per_level: list[DataFrame] = []
-    for lv in levels:
-        comp = connected_components(
-            forest.filter(F.col("w") <= lv).select(
-                "src", "dst", F.lit(1.0).alias("weight")
-            ),
-            vertices=vids,
-        )
+    prev_lv: int | None = None
+    comp: DataFrame | None = None
+    for lv in sorted(levels):
+        if comp is None:
+            comp = connected_components(
+                forest.filter(F.col("w") <= lv).select(
+                    "src", "dst", F.lit(1.0).alias("weight")
+                ),
+                vertices=vids,
+            ).localCheckpoint(eager=True)
+        else:
+            inc = forest.filter(
+                (F.col("w") > prev_lv) & (F.col("w") <= lv)
+            )
+            quotient_edges = (
+                inc.join(
+                    comp.select(
+                        F.col("vid").alias("src"),
+                        F.col("component").alias("qsrc"),
+                    ),
+                    "src",
+                )
+                .join(
+                    comp.select(
+                        F.col("vid").alias("dst"),
+                        F.col("component").alias("qdst"),
+                    ),
+                    "dst",
+                )
+                .select(
+                    F.col("qsrc").alias("src"),
+                    F.col("qdst").alias("dst"),
+                    F.lit(1.0).alias("weight"),
+                )
+                .filter(F.col("src") != F.col("dst"))
+            )
+            quotient_vids = comp.select(
+                F.col("component").alias("vid")
+            ).distinct()
+            qcomp = connected_components(
+                quotient_edges, vertices=quotient_vids
+            )
+            comp = (
+                comp.join(
+                    qcomp.select(
+                        F.col("vid").alias("component"),
+                        F.col("component").alias("merged"),
+                    ),
+                    "component",
+                )
+                .select("vid", F.col("merged").alias("component"))
+                .localCheckpoint(eager=True)
+            )
+        prev_lv = lv
         sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
         lab = (
             comp.join(F.broadcast(sizes), "component")
