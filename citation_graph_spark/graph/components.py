@@ -30,7 +30,10 @@ from pyspark.sql import functions as F
 from citation_graph_spark.checkpointing import CheckpointManager
 from citation_graph_spark.graph.degrees import auto_partitions, undirect
 from citation_graph_spark.metrics import MetricsLogger
-from citation_graph_spark.session import iterative_kernel_conf
+from citation_graph_spark.session import (
+    iterative_kernel_conf,
+    shuffle_partitions_conf,
+)
 
 
 def connected_components(
@@ -169,32 +172,33 @@ def _connected_components(
                 .localCheckpoint(eager=True)
             )
 
-    for it in range(start_iter, max_iter):
-        t0 = time.monotonic()
-        msgs = und.join(labels, und["src"] == labels["vid"]).select(
-            F.col("dst"), F.col("label").alias("nbr_label")
-        )
-        nbr_min = msgs.groupBy("dst").agg(F.min("nbr_label").alias("nbr_min"))
-        new_labels = (
-            labels.join(nbr_min, labels["vid"] == nbr_min["dst"], "left")
-            .select(
-                labels["vid"],
-                F.least(
-                    labels["label"], F.coalesce("nbr_min", labels["label"])
-                ).alias("label"),
-                labels["label"].alias("_prev"),
+    with shuffle_partitions_conf(spark, num_partitions):
+        for it in range(start_iter, max_iter):
+            t0 = time.monotonic()
+            msgs = und.join(labels, und["src"] == labels["vid"]).select(
+                F.col("dst"), F.col("label").alias("nbr_label")
             )
-            # lazy: the convergence count below materializes the
-            # checkpoint — one Spark job per round, not two
-            .localCheckpoint(eager=False)
-        )
-        changed = new_labels.filter(F.col("label") != F.col("_prev")).count()
-        labels = new_labels.drop("_prev")
-        metrics.log(it + 1, changed=changed, wall_s=round(time.monotonic() - t0, 4))
-        if ckpt and ((it + 1) % checkpoint_interval == 0):
-            ckpt.save(labels, it + 1, {"changed": changed})
-        if changed == 0:
-            break
+            nbr_min = msgs.groupBy("dst").agg(F.min("nbr_label").alias("nbr_min"))
+            new_labels = (
+                labels.join(nbr_min, labels["vid"] == nbr_min["dst"], "left")
+                .select(
+                    labels["vid"],
+                    F.least(
+                        labels["label"], F.coalesce("nbr_min", labels["label"])
+                    ).alias("label"),
+                    labels["label"].alias("_prev"),
+                )
+                # lazy: the convergence count below materializes the
+                # checkpoint — one Spark job per round, not two
+                .localCheckpoint(eager=False)
+            )
+            changed = new_labels.filter(F.col("label") != F.col("_prev")).count()
+            labels = new_labels.drop("_prev")
+            metrics.log(it + 1, changed=changed, wall_s=round(time.monotonic() - t0, 4))
+            if ckpt and ((it + 1) % checkpoint_interval == 0):
+                ckpt.save(labels, it + 1, {"changed": changed})
+            if changed == 0:
+                break
 
     if ckpt:
         ckpt.save(labels, it + 1, {"changed": changed, "converged": changed == 0})
@@ -228,46 +232,68 @@ def _star_components(
     e = und.filter(F.col("src") > F.col("dst")).select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     ).localCheckpoint(eager=True)
+    num_partitions = auto_partitions(spark, e.count())
 
-    for it in range(max_iter):
-        t0 = time.monotonic()
-        # large-star: γ(u) ∪ {u} grouped by u → link every w > u to min
-        nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        with_min = nbrs.join(
-            nbrs.groupBy("u").agg(F.min("v").alias("m")), "u"
-        ).withColumn("m", F.least("m", "u"))
-        large = (
-            with_min.filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
-        # small-star on the result
-        nbrs2 = large.unionByName(
-            large.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).filter(F.col("u") > F.col("v"))
-        with_min2 = nbrs2.join(
-            nbrs2.groupBy("u").agg(F.min("v").alias("m")), "u"
-        )
-        small = (
-            with_min2.select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(with_min2.select(F.col("u"), F.col("m").alias("v")))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-            # lazy: the star-forest check below materializes it
-            .localCheckpoint(eager=False)
-        )
-        # converged when small-star output is stable star forest:
-        # every u appears with exactly one v and v is a root (not a u)
-        non_star = (
-            small.alias("a")
-            .join(small.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi")
-            .count()
-        )
-        e = small
-        metrics.log(it + 1, non_star=non_star, wall_s=round(time.monotonic() - t0, 4))
-        if non_star == 0:
-            break
+    # Each round SELF-JOINS the evolving edge list twice (nbrs with its
+    # own groupBy-min), which SQUARES Catalyst's sizeInBytes estimate —
+    # and localCheckpoint PRESERVES stats through the LogicalRDD, so an
+    # unpinned loop doubles the estimate's BigInteger bit-length twice
+    # per round until the driver melts in BigInteger.multiply during
+    # planning.  Overlaying persist on the round-boundary checkpoint
+    # and materializing it pins the REAL cached size each round (same
+    # medicine as msf.contract_nominations), so within-round products
+    # stay bounded; caches are freed after the loop — the checkpoint
+    # underneath keeps the final edge list recomputable.
+    handles = []
+    with shuffle_partitions_conf(spark, num_partitions):
+        for it in range(max_iter):
+            t0 = time.monotonic()
+            # large-star: γ(u) ∪ {u} grouped by u → link every w > u to min
+            nbrs = e.unionByName(
+                e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            with_min = nbrs.join(
+                nbrs.groupBy("u").agg(F.min("v").alias("m")), "u"
+            ).withColumn("m", F.least("m", "u"))
+            large = (
+                with_min.filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+            )
+            # small-star on the result
+            nbrs2 = large.unionByName(
+                large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            ).filter(F.col("u") > F.col("v"))
+            with_min2 = nbrs2.join(
+                nbrs2.groupBy("u").agg(F.min("v").alias("m")), "u"
+            )
+            small = (
+                with_min2.select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionByName(with_min2.select(F.col("u"), F.col("m").alias("v")))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+                # lazy: the star-forest check below materializes it
+                .localCheckpoint(eager=False)
+                .persist()
+            )
+            handles.append(small)
+            # converged when small-star output is stable star forest:
+            # every u appears with exactly one v and v is a root (not a
+            # u); this count also materializes small's checkpoint + cache
+            non_star = (
+                small.alias("a")
+                .join(small.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi")
+                .count()
+            )
+            e = small
+            metrics.log(
+                it + 1, non_star=non_star, wall_s=round(time.monotonic() - t0, 4)
+            )
+            if non_star == 0:
+                break
+    for h in handles:
+        h.unpersist()
 
     comp = e.select(F.col("u").alias("vid"), F.col("v").alias("component"))
     return (

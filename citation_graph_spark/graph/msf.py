@@ -30,8 +30,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from citation_graph_spark.graph.components import connected_components
-from citation_graph_spark.session import iterative_kernel_conf
+from citation_graph_spark.graph.degrees import auto_partitions
+from citation_graph_spark.session import (
+    iterative_kernel_conf,
+    shuffle_partitions_conf,
+)
 
 
 def boruvka_msf(
@@ -92,6 +95,99 @@ def nomination_lineage(e: DataFrame, labels: DataFrame) -> DataFrame:
     return sym.withColumn("rn", F.row_number().over(win)).filter(F.col("rn") == 1)
 
 
+def rooted_nominations(sel: DataFrame) -> DataFrame:
+    """Nomination rows (comp, other) → parent pointers (comp, p) with
+    every 2-cycle broken at its smaller id.
+
+    The nomination map is FUNCTIONAL (each live component nominates
+    exactly one edge, and ``other`` is itself a live component), and
+    under the strict total order (w, src, dst) every cycle has length
+    exactly 2: around any nomination cycle the nominated edge orders
+    are non-increasing, hence all equal, hence the same edge.  Rooting
+    p(r) = r where p(p(r)) == r and r < p(r) therefore turns the
+    pseudoforest into a forest whose roots are the mutual pairs'
+    smaller ids.  Exposed uncheckpointed so the plan-regression
+    suite can pin its shape (one self-join, no cartesian product)."""
+    nom = sel.select("comp", F.col("other").alias("p"))
+    return (
+        nom.alias("a")
+        .join(
+            nom.select(F.col("comp").alias("p"), F.col("p").alias("pp")),
+            "p",
+        )
+        .select(
+            "comp",
+            F.when(
+                (F.col("pp") == F.col("comp")) & (F.col("comp") < F.col("p")),
+                F.col("comp"),
+            )
+            .otherwise(F.col("p"))
+            .alias("p"),
+        )
+    )
+
+
+def contract_nominations(sel: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """(comp, …, other) nominations → (comp, newc) merged-component
+    representatives via pointer doubling over the rooted nomination
+    forest: p ← p∘p until fixpoint, O(log depth) rounds of one
+    self-join each.  The representative is the mutual pair's smaller
+    id — NOT necessarily the min comp id of the merged component, which
+    is fine: nomination in the next Borůvka round partitions by the
+    label and selects the min outgoing edge per *partition class*, a
+    choice invariant under renaming the class (tests/test_msf.py pins
+    forest == Kruskal either way).  This replaces a full min-label CC
+    run per Borůvka round (O(chain-depth) rounds each, with its own
+    persist/count preamble) with O(log depth) cheap rounds.
+
+    Per-jump ``persist`` + count (instead of localCheckpoint) is a
+    CORRECTNESS-OF-PLANNING requirement, not a caching nicety: a
+    self-join SQUARES Catalyst's sizeInBytes estimate, and
+    localCheckpoint PRESERVES the source plan's statistics through the
+    LogicalRDD — so a checkpointed jump loop doubles the estimate's
+    BigInteger bit-length every iteration until the driver spends
+    minutes in BigInteger.multiply during planning (measured: round-3
+    planning alone exceeded 100 s on a 2 000-vertex graph).  A
+    materialized InMemoryRelation instead reports the REAL cached
+    size, resetting the estimate every jump; lineage is truncated with
+    an eager localCheckpoint every few jumps (its stale stats are
+    immediately overlaid by the next persist)."""
+    handles: list[DataFrame] = []
+
+    def _pin(df: DataFrame) -> DataFrame:
+        cached = df.persist()
+        handles.append(cached)
+        return cached
+
+    # par's cache materializes as a dependency of jump0's count; its
+    # one-join stats (2×bits(sel)) are bounded, so no eager count needed
+    par = _pin(rooted_nominations(sel))
+    for j in range(max_rounds):
+        jumped = _pin(
+            par.alias("a")
+            .join(
+                par.select(F.col("comp").alias("p"), F.col("p").alias("np")),
+                "p",
+            )
+            .select("comp", F.col("np").alias("p"), F.col("p").alias("_prev"))
+        )
+        # one job: materializes jumped's cache AND counts convergence
+        changed = jumped.filter(F.col("p") != F.col("_prev")).count()
+        par = jumped.drop("_prev")
+        if changed == 0:
+            break
+        if (j + 1) % 8 == 0:  # bound the logical-plan tree depth
+            par = _pin(par.localCheckpoint(eager=True))
+    else:
+        raise RuntimeError(
+            f"contract_nominations did not converge in {max_rounds} rounds"
+        )
+    out = par.select("comp", F.col("p").alias("newc")).localCheckpoint(eager=True)
+    for h in handles:
+        h.unpersist()
+    return out
+
+
 def _boruvka_msf(
     edges: DataFrame, vertices: DataFrame | None, max_rounds: int
 ) -> DataFrame:
@@ -108,31 +204,27 @@ def _boruvka_msf(
     )
 
     forest_parts: list[DataFrame] = []
-    for _ in range(max_rounds):
-        sel = nomination_lineage(e, labels).localCheckpoint(eager=True)
-        if sel.isEmpty():  # no cross-component edge left anywhere
-            break
-        forest_parts.append(sel.select("src", "dst", "w").distinct())
+    with shuffle_partitions_conf(spark, auto_partitions(spark, e.count())):
+        for _ in range(max_rounds):
+            sel = nomination_lineage(e, labels).localCheckpoint(eager=True)
+            if sel.isEmpty():  # no cross-component edge left anywhere
+                break
+            forest_parts.append(sel.select("src", "dst", "w").distinct())
 
-        # contract: components joined by nominated edges merge.  The
-        # merge graph has one node per live component (≥ halves each
-        # round) and ≤1 nominated edge per node — min-label CC over it
-        # reuses the engine's own kernel.
-        comp_edges = sel.select(
-            F.col("comp").alias("src"),
-            F.col("other").alias("dst"),
-            F.lit(1.0).alias("weight"),
-        )
-        merged = connected_components(
-            comp_edges, vertices=sel.select(F.col("comp").alias("vid")).distinct()
-        ).select(F.col("vid").alias("comp"), F.col("component").alias("newc"))
-        labels = (
-            labels.join(merged, "comp", "left")
-            .select("vid", F.coalesce("newc", "comp").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
-    else:
-        raise RuntimeError(f"boruvka_msf did not converge in {max_rounds} rounds")
+            # contract: components joined by nominated edges merge.  The
+            # nomination map is functional with only 2-cycles (see
+            # rooted_nominations), so pointer doubling resolves the merge
+            # in O(log depth) one-join rounds — no general CC kernel needed.
+            merged = contract_nominations(sel, max_rounds=max_rounds)
+            labels = (
+                labels.join(merged, "comp", "left")
+                .select("vid", F.coalesce("newc", "comp").alias("comp"))
+                .localCheckpoint(eager=True)
+            )
+        else:
+            raise RuntimeError(
+                f"boruvka_msf did not converge in {max_rounds} rounds"
+            )
 
     if not forest_parts:
         return spark.createDataFrame([], e.schema)

@@ -22,6 +22,27 @@ from pyspark.sql import SparkSession
 
 
 @contextmanager
+def shuffle_partitions_conf(spark: SparkSession, num_partitions: int):
+    """Pin ``spark.sql.shuffle.partitions`` for a kernel's duration.
+
+    The iterative kernels repartition their big frames to a
+    data-proportional count (graph.degrees.auto_partitions), but every
+    groupBy/join INSIDE the round still shuffles at the session default
+    — on a small graph that misaligns partitioning (forcing an extra
+    exchange per join) and pays a session-width task launch per tiny
+    shuffle.  Setting the session value to the kernel's own count for
+    the loop's duration aligns both; restored on exit.  At scale
+    auto_partitions caps at the session setting, so this is a no-op on
+    a big graph."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(num_partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@contextmanager
 def iterative_kernel_conf(spark: SparkSession):
     """AQE off for the duration of an iterative kernel.
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from citation_graph_spark import operators
 from citation_graph_spark.planaudit import plan_stats, static_plans
 
@@ -189,6 +191,29 @@ def test_boruvka_round_bounded_exchanges(spark):
         s = plan_stats(nomination_lineage(e, labels))
     assert s["cartesian"] == 0
     assert s["exchanges"] <= 12
+
+
+def test_boruvka_contraction_bounded_exchanges(spark):
+    """The per-round contraction (rooted_nominations + one pointer-jump
+    step) must stay one self-join each — bounded exchanges, no
+    cartesian — so the merge cost per Borůvka round is O(log depth)
+    cheap rounds, not a full CC kernel run."""
+    from citation_graph_spark.graph.msf import rooted_nominations
+
+    sel = spark.createDataFrame(
+        [(1, 5, 1, 2, 2), (2, 5, 1, 2, 1), (3, 7, 3, 2, 2)],
+        "comp long, w long, src long, dst long, other long",
+    )
+    with static_plans(spark):
+        par = rooted_nominations(sel)
+        s = plan_stats(par)
+        jump = par.alias("a").join(
+            par.select(F.col("comp").alias("p"), F.col("p").alias("np")), "p"
+        )
+        s2 = plan_stats(jump)
+    assert s["cartesian"] == 0 and s2["cartesian"] == 0
+    assert s["exchanges"] <= 6
+    assert s2["exchanges"] <= 10
 
 
 def test_graph_part_modularity_no_cartesian_product(stats):
