@@ -36,6 +36,64 @@ from citation_graph_spark.session import (
 )
 
 
+# Below this many collected edge rows the component computation runs as
+# one vectorized driver-side union-find instead of O(rounds) distributed
+# jobs.  This is the "filtering" endgame of the MapReduce graph
+# literature (Lattanzi et al., SPAA'11: shrink distributedly, finish
+# locally once the live graph fits one machine): the tail rounds of any
+# contraction algorithm are driver-bottlenecked anyway — each is a
+# full job-scheduling round trip over kilobytes of data.  50k rows is
+# ~1 MB via Arrow, trivially safe for the driver at any cluster size,
+# and both kernels (min-label, star) route through the same helper so
+# the labels stay bit-identical to the distributed fixpoint.
+_LOCAL_FINISH_UND_ROWS = 50_000
+
+
+def _local_components(und: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Exact min-vid component labels for a graph small enough to
+    collect — vectorized hook-and-compress union-find (numpy), no
+    Python per-edge loop.  Returns the same ``(vid, component)`` frame
+    as the distributed kernels: labels for edge-incident vertices are
+    computed locally; isolated vertices coalesce to their own vid via
+    the (distributed) left join, so ``vertices`` may be arbitrarily
+    large."""
+    import numpy as np
+
+    spark = und.sparkSession
+    pdf = und.select("src", "dst").toPandas()
+    if len(pdf):
+        src = pdf["src"].to_numpy()
+        dst = pdf["dst"].to_numpy()
+        nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        a, b = inv[: len(src)], inv[len(src):]
+        # hook (adopt the min parent across each edge) + full pointer
+        # compression per round; monotone non-increasing and bounded, so
+        # the fixpoint — parent == min index in the component, constant
+        # along every edge — is reached in O(log n) vectorized rounds
+        parent = np.arange(len(nodes))
+        while True:
+            prev = parent
+            parent = parent.copy()
+            np.minimum.at(parent, a, prev[b])
+            np.minimum.at(parent, b, prev[a])
+            parent = parent[parent[parent]]
+            if np.array_equal(parent, prev):
+                break
+        import pandas as pd
+
+        lab = spark.createDataFrame(
+            pd.DataFrame({"vid": nodes, "component": nodes[parent]}),
+            "vid long, component long",
+        )
+    else:
+        lab = spark.createDataFrame([], "vid long, component long")
+    return (
+        vertices.select("vid")
+        .join(lab.withColumnRenamed("component", "_c"), "vid", "left")
+        .select("vid", F.coalesce("_c", F.col("vid")).alias("component"))
+    )
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
@@ -48,10 +106,17 @@ def connected_components(
     star_contraction: bool | None = None,
     star_threshold: int = 10_000_000,
     init_labels: DataFrame | None = None,
+    local_finish_edges: int | None = None,
 ) -> DataFrame:
     """Returns ``(vid: long, component: long)``; component = min vid in
     the component (deterministic, order-insensitive reducer — min —
     per SURVEY.md §7.2(c)).
+
+    ``local_finish_edges`` — undirected-row count at or below which the
+    computation runs as one vectorized driver union-find instead of
+    distributed rounds (None → module default ``_LOCAL_FINISH_UND_ROWS``;
+    0 forces the distributed kernels, used by their equality tests).
+    Identical labels either way.
 
     ``init_labels`` — warm start for APPEND-ONLY graph growth (the
     incremental-ingest model): a ``(vid, label)`` DataFrame from a
@@ -75,7 +140,7 @@ def connected_components(
         return _connected_components(
             edges, vertices, max_iter, num_partitions, checkpoint_dir,
             checkpoint_interval, resume, metrics_path, star_contraction,
-            star_threshold, init_labels,
+            star_threshold, init_labels, local_finish_edges,
         )
 
 
@@ -91,7 +156,10 @@ def _connected_components(
     star_contraction: bool | None,
     star_threshold: int,
     init_labels: DataFrame | None = None,
+    local_finish_edges: int | None = None,
 ) -> DataFrame:
+    if local_finish_edges is None:
+        local_finish_edges = _LOCAL_FINISH_UND_ROWS
     if star_contraction:
         # _star_components supports none of the warm-start / durable-
         # checkpoint contract; routing those callers there silently
@@ -114,7 +182,9 @@ def _connected_components(
                 "warm-start support; use star_contraction=None (auto) "
                 "or False"
             )
-        return _star_components(edges, vertices, max_iter, metrics_path)
+        return _star_components(
+            edges, vertices, max_iter, metrics_path, local_finish_edges
+        )
 
     spark = edges.sparkSession
     metrics = MetricsLogger(metrics_path, "connected_components")
@@ -122,6 +192,21 @@ def _connected_components(
 
     und0 = undirect(edges).persist()
     n_und = und0.count()
+    # driver-trivial graph and no durable-checkpoint / warm-start
+    # contract → vectorized local union-find (identical labels, one job
+    # instead of O(rounds); see _LOCAL_FINISH_UND_ROWS)
+    if (
+        n_und <= local_finish_edges
+        and ckpt is None
+        and not resume
+        and init_labels is None
+    ):
+        if vertices is None:
+            vertices = und0.select(F.col("src").alias("vid")).distinct()
+        out = _local_components(und0, vertices)
+        out = out.localCheckpoint(eager=True)
+        und0.unpersist()
+        return out
     # auto star-contraction only when no durable-checkpoint contract is
     # in play: _star_components has no CheckpointManager, so routing a
     # checkpoint_dir/resume caller there would silently drop the
@@ -134,7 +219,9 @@ def _connected_components(
         and init_labels is None
     ):
         und0.unpersist()
-        return _star_components(edges, vertices, max_iter, metrics_path)
+        return _star_components(
+            edges, vertices, max_iter, metrics_path, local_finish_edges
+        )
     if num_partitions is None:
         num_partitions = auto_partitions(spark, n_und)
     und = und0.repartition(num_partitions, "src").persist()
@@ -211,6 +298,7 @@ def _star_components(
     vertices: DataFrame | None,
     max_iter: int,
     metrics_path: str | None,
+    local_finish_edges: int | None = None,
 ) -> DataFrame:
     """Alternating large-star/small-star contraction (logarithmic rounds).
 
@@ -232,7 +320,17 @@ def _star_components(
     e = und.filter(F.col("src") > F.col("dst")).select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     ).localCheckpoint(eager=True)
-    num_partitions = auto_partitions(spark, e.count())
+    n_e = e.count()
+    if local_finish_edges is None:
+        local_finish_edges = _LOCAL_FINISH_UND_ROWS
+    # driver-trivial graph → vectorized local union-find (identical
+    # min-vid labels, one job instead of O(log² n) self-join rounds)
+    if 2 * n_e <= local_finish_edges:
+        return _local_components(
+            e.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+            vertices,
+        ).localCheckpoint(eager=True)
+    num_partitions = auto_partitions(spark, n_e)
 
     # Each round SELF-JOINS the evolving edge list twice (nbrs with its
     # own groupBy-min), which SQUARES Catalyst's sizeInBytes estimate —

@@ -41,6 +41,7 @@ def boruvka_msf(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     max_rounds: int = 40,
+    local_finish_comps: int | None = None,
 ) -> DataFrame:
     """Minimum spanning forest of an undirected weighted graph.
 
@@ -49,9 +50,16 @@ def boruvka_msf(
     handled internally).  ``vertices``: optional (vid) frame; isolated
     vertices simply contribute no forest edges.  Returns the forest as
     (src, dst, w) — per connected component, |C|-1 edges.
+
+    ``local_finish_comps`` — live-component count at or below which the
+    loop stops and the remaining forest is computed by one driver
+    Kruskal over the collected min-edge-per-pair quotient (None →
+    module default ``_LOCAL_FINISH_COMPS``; 0 forces the distributed
+    loop to run out, used by its equality tests).  Identical forest
+    either way.
     """
     with iterative_kernel_conf(edges.sparkSession):
-        return _boruvka_msf(edges, vertices, max_rounds)
+        return _boruvka_msf(edges, vertices, max_rounds, local_finish_comps)
 
 
 def normalize_edges(edges: DataFrame) -> DataFrame:
@@ -71,6 +79,70 @@ def normalize_edges(edges: DataFrame) -> DataFrame:
     )
 
 
+# Once this few components remain live, the Borůvka loop stops and the
+# remaining forest is computed by one driver-side Kruskal over the
+# collected min-edge-per-component-pair quotient (≤ C(1024,2) ≈ 524k
+# rows ≈ 20 MB via Arrow, worst case).  The tail rounds of Borůvka are
+# driver-bottlenecked job round trips over kilobytes; the filtering
+# literature (Lattanzi et al., SPAA'11) finishes locally exactly here.
+_LOCAL_FINISH_COMPS = 1024
+
+
+def _local_kruskal_tail(e: DataFrame, labels: DataFrame) -> DataFrame:
+    """Remaining-forest edges (src, dst, w) for a contracted graph with
+    few live components: min-edge-per-pair quotient reduced
+    distributedly, then exact Kruskal on the driver under the strict
+    (w, src, dst) total order — the same edge order the distributed
+    nomination uses, so the chosen forest is identical."""
+    import pandas as pd
+
+    spark = e.sparkSession
+    live = cross_component_edges(e, labels)
+    q = (
+        live.select(
+            F.least("cs", "cd").alias("a"),
+            F.greatest("cs", "cd").alias("b"),
+            F.struct("w", "src", "dst").alias("m"),
+        )
+        .groupBy("a", "b")
+        .agg(F.min("m").alias("m"))
+        .select("a", "b", "m.w", "m.src", "m.dst")
+    )
+    pdf = q.toPandas().sort_values(["w", "src", "dst"], kind="mergesort")
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    keep = []
+    for a, b in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
+        keep.append(ra != rb)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    chosen = pd.DataFrame(
+        {
+            c: pdf.loc[keep, c].to_numpy()
+            for c in ("src", "dst", "w")
+        }
+    )
+    # e's own schema (weights may be any integer-comparable type)
+    return spark.createDataFrame(chosen, e.schema).localCheckpoint(eager=True)
+
+
+def cross_component_edges(e: DataFrame, labels: DataFrame) -> DataFrame:
+    """Label both endpoints with their current component and keep only
+    edges crossing components: (cs, cd, w, src, dst)."""
+    ls = labels.select(F.col("vid").alias("src"), F.col("comp").alias("cs"))
+    ld = labels.select(F.col("vid").alias("dst"), F.col("comp").alias("cd"))
+    return e.join(ls, "src").join(ld, "dst").filter(F.col("cs") != F.col("cd"))
+
+
 def nomination_lineage(e: DataFrame, labels: DataFrame) -> DataFrame:
     """One Borůvka nomination as pure lineage: label both endpoints,
     keep cross-component edges, and let every component nominate its
@@ -81,9 +153,7 @@ def nomination_lineage(e: DataFrame, labels: DataFrame) -> DataFrame:
     plan (bounded exchanges, no cartesian product): the loop below
     runs exactly this lineage between localCheckpoints, so the pinned
     shape IS the per-round cost at any scale."""
-    ls = labels.select(F.col("vid").alias("src"), F.col("comp").alias("cs"))
-    ld = labels.select(F.col("vid").alias("dst"), F.col("comp").alias("cd"))
-    live = e.join(ls, "src").join(ld, "dst").filter(F.col("cs") != F.col("cd"))
+    live = cross_component_edges(e, labels)
     sym = live.select(
         F.col("cs").alias("comp"), "w", "src", "dst", F.col("cd").alias("other")
     ).unionByName(
@@ -189,8 +259,13 @@ def contract_nominations(sel: DataFrame, max_rounds: int = 40) -> DataFrame:
 
 
 def _boruvka_msf(
-    edges: DataFrame, vertices: DataFrame | None, max_rounds: int
+    edges: DataFrame,
+    vertices: DataFrame | None,
+    max_rounds: int,
+    local_finish_comps: int | None = None,
 ) -> DataFrame:
+    if local_finish_comps is None:
+        local_finish_comps = _LOCAL_FINISH_COMPS
     spark = edges.sparkSession
     e = normalize_edges(edges).localCheckpoint(eager=True)
     if vertices is None:
@@ -207,7 +282,19 @@ def _boruvka_msf(
     with shuffle_partitions_conf(spark, auto_partitions(spark, e.count())):
         for _ in range(max_rounds):
             sel = nomination_lineage(e, labels).localCheckpoint(eager=True)
-            if sel.isEmpty():  # no cross-component edge left anywhere
+            n_live = sel.count()
+            if n_live == 0:  # no cross-component edge left anywhere
+                break
+            if n_live <= local_finish_comps:
+                # Kruskal endgame (filtering, Lattanzi et al. SPAA'11):
+                # ≤1024 live components bound the min-edge-per-pair
+                # quotient to ≤524k rows — reduce distributedly, collect,
+                # and finish the remaining forest in one driver Kruskal
+                # under the same (w, src, dst) total order.  The quotient
+                # MSF equals the MSF of the remaining contracted graph
+                # (cycle property kills non-minimal parallel edges), so
+                # the result is bit-identical to running the loop out.
+                forest_parts.append(_local_kruskal_tail(e, labels))
                 break
             forest_parts.append(sel.select("src", "dst", "w").distinct())
 

@@ -90,22 +90,39 @@ def test_components_match_oracle(spark, name):
 
 @pytest.mark.parametrize("name", ["cycle4_isolated", "two_cliques_bridge", "random_200"])
 def test_star_contraction_matches_minlabel(spark, name):
+    """All three routes — distributed min-label, distributed star
+    contraction, and the driver union-find local finish (the default on
+    graphs this small) — must produce identical labels.
+    local_finish_edges=0 forces the distributed kernels so they stay
+    exercised on fixture-sized graphs."""
     n, el = GRAPHS[name]
     base = (
-        connected_components(edges_df(spark, el), vertices_df(spark, n))
+        connected_components(
+            edges_df(spark, el), vertices_df(spark, n), local_finish_edges=0
+        )
         .orderBy("vid")
         .toPandas()["component"]
         .tolist()
     )
     star = (
         connected_components(
-            edges_df(spark, el), vertices_df(spark, n), star_contraction=True
+            edges_df(spark, el),
+            vertices_df(spark, n),
+            star_contraction=True,
+            local_finish_edges=0,
         )
         .orderBy("vid")
         .toPandas()["component"]
         .tolist()
     )
+    local = (
+        connected_components(edges_df(spark, el), vertices_df(spark, n))
+        .orderBy("vid")
+        .toPandas()["component"]
+        .tolist()
+    )
     assert star == base
+    assert local == base
 
 
 @pytest.mark.parametrize("name", sorted(GRAPHS))

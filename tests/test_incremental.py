@@ -129,7 +129,9 @@ def test_components_warm_start_append_only(spark, tmp_path):
 
     m_cold = str(tmp_path / "cc_cold.jsonl")
     m_warm = str(tmp_path / "cc_warm.jsonl")
-    cold = connected_components(e2, v2, metrics_path=m_cold)
+    # local_finish_edges=0: the round-count comparison below is about
+    # the distributed kernel (warm start is skipped by the local path)
+    cold = connected_components(e2, v2, metrics_path=m_cold, local_finish_edges=0)
     warm = connected_components(
         e2,
         v2,

@@ -46,15 +46,31 @@ def _random_graph(seed: int, n: int, m: int, wmax: int):
     return edges
 
 
-def _spark_msf(spark, n, edges):
+def _spark_msf(spark, n, edges, **kw):
     e = spark.createDataFrame(edges, "src long, dst long, w long")
-    got = boruvka_msf(e, vertices=spark.range(n).withColumnRenamed("id", "vid"))
+    got = boruvka_msf(
+        e, vertices=spark.range(n).withColumnRenamed("id", "vid"), **kw
+    )
     return {(r.src, r.dst, r.w) for r in got.collect()}
 
 
 def test_msf_equals_kruskal_dense_ties(spark):
+    # local_finish_comps=0 runs the distributed Borůvka loop to
+    # convergence — keeps the loop exercised on fixture-sized graphs
     n, edges = 40, _random_graph(seed=7, n=40, m=200, wmax=6)
-    assert _spark_msf(spark, n, edges) == kruskal(n, edges)
+    assert _spark_msf(spark, n, edges, local_finish_comps=0) == kruskal(n, edges)
+
+
+def test_msf_local_tail_equals_distributed(spark):
+    """The driver-Kruskal endgame (default when few components remain
+    live) must return the same forest as running the Borůvka loop out,
+    and both must equal reference Kruskal — including under heavy
+    weight ties (the (w, src, dst) total-order contract)."""
+    n, edges = 60, _random_graph(seed=21, n=60, m=300, wmax=5)
+    want = kruskal(n, edges)
+    assert _spark_msf(spark, n, edges) == want  # immediate local tail
+    # one distributed round, then the tail (threshold mid-run)
+    assert _spark_msf(spark, n, edges, local_finish_comps=20) == want
 
 
 def test_msf_equals_kruskal_forest_with_isolates(spark):
