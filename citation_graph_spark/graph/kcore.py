@@ -32,7 +32,10 @@ from pyspark.sql import functions as F
 
 from citation_graph_spark.graph.degrees import auto_partitions, undirect
 from citation_graph_spark.metrics import MetricsLogger
-from citation_graph_spark.session import iterative_kernel_conf
+from citation_graph_spark.session import (
+    iterative_kernel_conf,
+    shuffle_partitions_conf,
+)
 
 
 def k_core(
@@ -77,31 +80,33 @@ def _k_core(
     )
     n_alive = alive.count()
 
-    for it in range(1, max_iter + 1):
-        t0 = time.monotonic()
-        # edges whose BOTH endpoints survive, then surviving degree
-        e_alive = e.join(
-            alive.select(F.col("vid").alias("src")), "src", "left_semi"
-        ).join(alive.select(F.col("vid").alias("dst")), "dst", "left_semi")
-        survivors = (
-            e_alive.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select(F.col("src").alias("vid"))
-            .repartition(num_partitions, "vid")
-            .localCheckpoint(eager=True)
-        )
-        n_new = survivors.count()
-        metrics.log(
-            it,
-            alive=n_new,
-            dropped=n_alive - n_new,
-            wall_s=round(time.monotonic() - t0, 4),
-        )
-        converged = n_new == n_alive
-        alive, n_alive = survivors, n_new
-        if converged or n_alive == 0:
-            break
+    # in-loop shuffles run at the kernel's data-proportional width
+    with shuffle_partitions_conf(spark, num_partitions):
+        for it in range(1, max_iter + 1):
+            t0 = time.monotonic()
+            # edges whose BOTH endpoints survive, then surviving degree
+            e_alive = e.join(
+                alive.select(F.col("vid").alias("src")), "src", "left_semi"
+            ).join(alive.select(F.col("vid").alias("dst")), "dst", "left_semi")
+            survivors = (
+                e_alive.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= k)
+                .select(F.col("src").alias("vid"))
+                .repartition(num_partitions, "vid")
+                .localCheckpoint(eager=True)
+            )
+            n_new = survivors.count()
+            metrics.log(
+                it,
+                alive=n_new,
+                dropped=n_alive - n_new,
+                wall_s=round(time.monotonic() - t0, 4),
+            )
+            converged = n_new == n_alive
+            alive, n_alive = survivors, n_new
+            if converged or n_alive == 0:
+                break
 
     e.unpersist()
     return alive

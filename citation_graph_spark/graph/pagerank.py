@@ -41,7 +41,10 @@ from pyspark.sql import functions as F
 from citation_graph_spark.checkpointing import CheckpointManager
 from citation_graph_spark.graph.degrees import auto_partitions
 from citation_graph_spark.metrics import MetricsLogger
-from citation_graph_spark.session import iterative_kernel_conf
+from citation_graph_spark.session import (
+    iterative_kernel_conf,
+    shuffle_partitions_conf,
+)
 
 # rounds fused per materialization job on the fixed-round path.
 # A/B on the sf0.1 part graph (190k sym edges, 20 rounds, warm):
@@ -239,42 +242,50 @@ def _pagerank(
         )
 
     it, l1 = start_iter, float("inf")
-    while it < max_iter:
-        t0 = time.monotonic()
-        steps = min(unroll, max_iter - it)
-        new_ranks = ranks
-        for _ in range(steps):
-            new_ranks = one_round(new_ranks.drop("_prev"))
-        # lazy checkpoint: when stats run, their collect materializes the
-        # checkpoint as a side effect — ONE Spark job per block, not two
-        new_ranks = new_ranks.localCheckpoint(eager=not need_stats)
+    # in-loop shuffles (the groupBy("dst") and rank join) must run at
+    # the kernel's own data-proportional width, not the session default
+    # — same alignment rationale as the CC/Borůvka loops
+    with shuffle_partitions_conf(spark, num_partitions):
+        while it < max_iter:
+            t0 = time.monotonic()
+            steps = min(unroll, max_iter - it)
+            new_ranks = ranks
+            for _ in range(steps):
+                new_ranks = one_round(new_ranks.drop("_prev"))
+            # lazy checkpoint: when stats run, their collect materializes
+            # the checkpoint as a side effect — ONE Spark job per block,
+            # not two
+            new_ranks = new_ranks.localCheckpoint(eager=not need_stats)
 
-        if need_stats:
-            stats = new_ranks.agg(
-                F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("l1"),
-                F.coalesce(
-                    F.sum(F.when(F.col("is_dangling"), F.col("rank"))), F.lit(0.0)
-                ).alias("d_mass"),
-            ).collect()[0]
-            l1, d_mass = stats["l1"], stats["d_mass"]
-        ranks = new_ranks.drop("_prev")
-        it += steps
+            if need_stats:
+                stats = new_ranks.agg(
+                    F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("l1"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("is_dangling"), F.col("rank"))),
+                        F.lit(0.0),
+                    ).alias("d_mass"),
+                ).collect()[0]
+                l1, d_mass = stats["l1"], stats["d_mass"]
+            ranks = new_ranks.drop("_prev")
+            it += steps
 
-        wall = time.monotonic() - t0
-        total_wall += wall
-        metrics.log(
-            it,
-            l1_delta=l1 if l1 != float("inf") else None,
-            wall_s=round(wall, 4),
-            rounds_in_job=steps,
-            edges=edge_count,
-            vertices=n,
-            edges_per_sec=round(steps * edge_count / wall, 1) if wall > 0 else None,
-        )
-        if ckpt and (it % checkpoint_interval == 0):
-            ckpt.save(ranks, it, {"l1": l1, "alpha": alpha, "tol": tol})
-        if l1 < tol:
-            break
+            wall = time.monotonic() - t0
+            total_wall += wall
+            metrics.log(
+                it,
+                l1_delta=l1 if l1 != float("inf") else None,
+                wall_s=round(wall, 4),
+                rounds_in_job=steps,
+                edges=edge_count,
+                vertices=n,
+                edges_per_sec=(
+                    round(steps * edge_count / wall, 1) if wall > 0 else None
+                ),
+            )
+            if ckpt and (it % checkpoint_interval == 0):
+                ckpt.save(ranks, it, {"l1": l1, "alpha": alpha, "tol": tol})
+            if l1 < tol:
+                break
 
     if ckpt:
         ckpt.save(ranks, it, {"l1": l1, "converged": l1 < tol})

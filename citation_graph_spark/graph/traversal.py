@@ -34,7 +34,10 @@ from pyspark.sql import functions as F
 
 from citation_graph_spark.graph.degrees import auto_partitions, undirect
 from citation_graph_spark.metrics import MetricsLogger
-from citation_graph_spark.session import iterative_kernel_conf
+from citation_graph_spark.session import (
+    iterative_kernel_conf,
+    shuffle_partitions_conf,
+)
 
 
 def bfs_distances(
@@ -91,27 +94,29 @@ def _bfs(
     )
     frontier = dist.select("vid")
 
-    for it in range(1, max_iter + 1):
-        t0 = time.monotonic()
-        reached = (
-            e.join(frontier, e["src"] == frontier["vid"])
-            .select(F.col("dst").alias("vid"))
-            .distinct()
-        )
-        new = (
-            reached.join(dist.select("vid"), "vid", "left_anti")
-            .withColumn("dist", F.lit(it))
-            .repartition(num_partitions, "vid")
-            .localCheckpoint(eager=True)
-        )
-        n_new = new.count()
-        metrics.log(
-            it, frontier=n_new, wall_s=round(time.monotonic() - t0, 4)
-        )
-        if n_new == 0:
-            break
-        dist = dist.unionByName(new).localCheckpoint(eager=True)
-        frontier = new.select("vid")
+    # in-loop shuffles run at the kernel's data-proportional width
+    with shuffle_partitions_conf(spark, num_partitions):
+        for it in range(1, max_iter + 1):
+            t0 = time.monotonic()
+            reached = (
+                e.join(frontier, e["src"] == frontier["vid"])
+                .select(F.col("dst").alias("vid"))
+                .distinct()
+            )
+            new = (
+                reached.join(dist.select("vid"), "vid", "left_anti")
+                .withColumn("dist", F.lit(it))
+                .repartition(num_partitions, "vid")
+                .localCheckpoint(eager=True)
+            )
+            n_new = new.count()
+            metrics.log(
+                it, frontier=n_new, wall_s=round(time.monotonic() - t0, 4)
+            )
+            if n_new == 0:
+                break
+            dist = dist.unionByName(new).localCheckpoint(eager=True)
+            frontier = new.select("vid")
 
     e.unpersist()
     return dist
@@ -174,22 +179,24 @@ def _bfs_per_source(
     )
     frontier = dist.select("seed", "vid")
 
-    for it in range(1, max_iter + 1):
-        reached = (
-            e.join(frontier, e["src"] == frontier["vid"])
-            .select("seed", F.col("dst").alias("vid"))
-            .distinct()
-        )
-        new = (
-            reached.join(dist.select("seed", "vid"), ["seed", "vid"], "left_anti")
-            .withColumn("dist", F.lit(it))
-            .repartition(num_partitions, "vid")
-            .localCheckpoint(eager=True)
-        )
-        if new.count() == 0:
-            break
-        dist = dist.unionByName(new).localCheckpoint(eager=True)
-        frontier = new.select("seed", "vid")
+    # in-loop shuffles run at the kernel's data-proportional width
+    with shuffle_partitions_conf(spark, num_partitions):
+        for it in range(1, max_iter + 1):
+            reached = (
+                e.join(frontier, e["src"] == frontier["vid"])
+                .select("seed", F.col("dst").alias("vid"))
+                .distinct()
+            )
+            new = (
+                reached.join(dist.select("seed", "vid"), ["seed", "vid"], "left_anti")
+                .withColumn("dist", F.lit(it))
+                .repartition(num_partitions, "vid")
+                .localCheckpoint(eager=True)
+            )
+            if new.count() == 0:
+                break
+            dist = dist.unionByName(new).localCheckpoint(eager=True)
+            frontier = new.select("seed", "vid")
 
     e.unpersist()
     return dist
@@ -260,48 +267,50 @@ def _sssp(
     )
     frontier = dist
 
-    for it in range(1, max_iter + 1):
-        t0 = time.monotonic()
-        cand = (
-            e.join(frontier, e["src"] == frontier["vid"])
-            .select(
-                F.col("dst").alias("vid"),
-                (F.col("dist") + F.col("w")).alias("cand"),
+    # in-loop shuffles run at the kernel's data-proportional width
+    with shuffle_partitions_conf(spark, num_partitions):
+        for it in range(1, max_iter + 1):
+            t0 = time.monotonic()
+            cand = (
+                e.join(frontier, e["src"] == frontier["vid"])
+                .select(
+                    F.col("dst").alias("vid"),
+                    (F.col("dist") + F.col("w")).alias("cand"),
+                )
+                .groupBy("vid")
+                .agg(F.min("cand").alias("cand"))
             )
-            .groupBy("vid")
-            .agg(F.min("cand").alias("cand"))
-        )
-        merged = (
-            dist.join(cand, "vid", "full")
-            .select(
-                "vid",
-                # least() skips NULLs (returns NULL only if both are),
-                # exactly min-ignoring-infinity
-                F.least("dist", "cand").alias("new_dist"),
-                F.col("dist").alias("old_dist"),
+            merged = (
+                dist.join(cand, "vid", "full")
+                .select(
+                    "vid",
+                    # least() skips NULLs (returns NULL only if both are),
+                    # exactly min-ignoring-infinity
+                    F.least("dist", "cand").alias("new_dist"),
+                    F.col("dist").alias("old_dist"),
+                )
             )
-        )
-        improved = (
-            merged.filter(
-                F.col("old_dist").isNull()
-                | (F.col("new_dist") < F.col("old_dist"))
+            improved = (
+                merged.filter(
+                    F.col("old_dist").isNull()
+                    | (F.col("new_dist") < F.col("old_dist"))
+                )
+                .select("vid", F.col("new_dist").alias("dist"))
+                .repartition(num_partitions, "vid")
+                .localCheckpoint(eager=True)
             )
-            .select("vid", F.col("new_dist").alias("dist"))
-            .repartition(num_partitions, "vid")
-            .localCheckpoint(eager=True)
-        )
-        n_improved = improved.count()
-        metrics.log(
-            it, improved=n_improved, wall_s=round(time.monotonic() - t0, 4)
-        )
-        if n_improved == 0:
-            break
-        dist = (
-            merged.select("vid", F.col("new_dist").alias("dist"))
-            .repartition(num_partitions, "vid")
-            .localCheckpoint(eager=True)
-        )
-        frontier = improved
+            n_improved = improved.count()
+            metrics.log(
+                it, improved=n_improved, wall_s=round(time.monotonic() - t0, 4)
+            )
+            if n_improved == 0:
+                break
+            dist = (
+                merged.select("vid", F.col("new_dist").alias("dist"))
+                .repartition(num_partitions, "vid")
+                .localCheckpoint(eager=True)
+            )
+            frontier = improved
 
     e.unpersist()
     return dist
@@ -392,41 +401,43 @@ def _ppr(
     )
     has_dangling = ranks.filter(F.col("is_dangling")).limit(1).count() > 0
 
-    for it in range(1, max_iter + 1):
-        t0 = time.monotonic()
-        d_mass = 0.0
-        if has_dangling:
-            # one small agg over the checkpointed state — no recompute
-            d_mass = (
-                ranks.agg(
-                    F.coalesce(
-                        F.sum(F.when(F.col("is_dangling"), F.col("rank"))),
-                        F.lit(0.0),
-                    )
-                ).collect()[0][0]
+    # in-loop shuffles run at the kernel's data-proportional width
+    with shuffle_partitions_conf(spark, num_partitions):
+        for it in range(1, max_iter + 1):
+            t0 = time.monotonic()
+            d_mass = 0.0
+            if has_dangling:
+                # one small agg over the checkpointed state — no recompute
+                d_mass = (
+                    ranks.agg(
+                        F.coalesce(
+                            F.sum(F.when(F.col("is_dangling"), F.col("rank"))),
+                            F.lit(0.0),
+                        )
+                    ).collect()[0][0]
+                )
+            contribs = e.join(
+                ranks.select("vid", "rank"), e["src"] == F.col("vid")
+            ).select(F.col("dst"), (F.col("rank") * F.col("wnorm")).alias("c"))
+            sums = contribs.groupBy("dst").agg(F.sum("c").alias("m"))
+            ranks = (
+                ranks.join(sums, ranks["vid"] == sums["dst"], "left")
+                .select(
+                    ranks["vid"],
+                    ranks["s"],
+                    ranks["is_dangling"],
+                    (
+                        F.lit(1.0 - alpha) * F.col("s")
+                        + F.lit(alpha)
+                        * (
+                            F.coalesce(F.col("m"), F.lit(0.0))
+                            + F.lit(d_mass) * F.col("s")
+                        )
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
             )
-        contribs = e.join(
-            ranks.select("vid", "rank"), e["src"] == F.col("vid")
-        ).select(F.col("dst"), (F.col("rank") * F.col("wnorm")).alias("c"))
-        sums = contribs.groupBy("dst").agg(F.sum("c").alias("m"))
-        ranks = (
-            ranks.join(sums, ranks["vid"] == sums["dst"], "left")
-            .select(
-                ranks["vid"],
-                ranks["s"],
-                ranks["is_dangling"],
-                (
-                    F.lit(1.0 - alpha) * F.col("s")
-                    + F.lit(alpha)
-                    * (
-                        F.coalesce(F.col("m"), F.lit(0.0))
-                        + F.lit(d_mass) * F.col("s")
-                    )
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        metrics.log(it, wall_s=round(time.monotonic() - t0, 4), edges=n_edges)
+            metrics.log(it, wall_s=round(time.monotonic() - t0, 4), edges=n_edges)
 
     e.unpersist()
     return ranks.select("vid", F.col("rank").alias("score"))
