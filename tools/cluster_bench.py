@@ -26,12 +26,29 @@ Round-4 hardening (VERDICT r3 item 6): the series is BANDWIDTH-GATED.
 The host's visible DRAM bandwidth oscillates 27-45 GB/s on 30-60 min
 timescales (bench_out/membw_drift_20260817.json); a series started on
 a sick bus measures the neighbor's workload, not the engine. Before
-every repeat the harness polls the 2-proc streaming probe and fires
-only when it clears ``$SPARK_GRAFT_MEMBW_GATE_MB_S`` (default 40000)
-or the poll budget ``$SPARK_GRAFT_MEMBW_GATE_TIMEOUT_S`` (default
-3600 s) runs out — in which case the repeat still runs and is still
-reported, marked gated=false. EVERY probe is recorded in the output;
-nothing is silently retried or dropped.
+every repeat the harness polls the streaming probe and fires when
+EITHER condition clears (or the poll budget
+``$SPARK_GRAFT_MEMBW_GATE_TIMEOUT_S``, default 3600 s, runs out — in
+which case the repeat still runs and is still reported, marked
+cleared=false). EVERY probe is recorded; nothing is silently retried
+or dropped. The two clearing conditions correspond to the two healthy
+regimes this host exhibits:
+
+- absolute: 2-proc probe ≥ ``$SPARK_GRAFT_MEMBW_GATE_MB_S`` (default
+  40000) — the full-bus regime, where a few threads can already pull
+  the machine's entire bandwidth.
+- gain: bw(8 procs)/bw(2 procs)/4 ≥ ``$SPARK_GRAFT_MEMBW_GATE_GAIN_EFF``
+  (default 0.8) — the per-core-throttled regime, where each core's
+  bandwidth is capped well below the bus total so quadrupling threads
+  quadruples aggregate bandwidth. What confounds an N→4N *scaling*
+  measurement is bus SATURATION (both legs compete for one fixed
+  total), not a low absolute level; a throttled-but-linear bus is
+  exactly the resource shape of 4 physically separate hosts, each
+  bringing its own memory controller — the regime the docstring above
+  says these numbers should model. The gain gate certifies the
+  hardware itself can sustain ≥0.8 weak bandwidth scaling at 4×
+  threads, so an engine efficiency below that is attributable to the
+  engine, and one at/above it is a true pass.
 
 Usage: python tools/cluster_bench.py [n_docs] [iters] [mode] [repeats]
 Writes bench_out/cluster_scaling.json.
@@ -56,6 +73,9 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 from membw_bench import run as membw_probe  # noqa: E402
 
 MEMBW_GATE_MB_S = float(os.environ.get("SPARK_GRAFT_MEMBW_GATE_MB_S", "40000"))
+MEMBW_GATE_GAIN_EFF = float(
+    os.environ.get("SPARK_GRAFT_MEMBW_GATE_GAIN_EFF", "0.8")
+)
 MEMBW_GATE_TIMEOUT_S = float(
     os.environ.get("SPARK_GRAFT_MEMBW_GATE_TIMEOUT_S", "3600")
 )
@@ -63,23 +83,47 @@ MEMBW_GATE_POLL_S = float(os.environ.get("SPARK_GRAFT_MEMBW_GATE_POLL_S", "120")
 
 
 def wait_for_healthy_bus() -> dict:
-    """Poll the 2-proc streaming probe until it clears the gate or the
-    budget runs out. Every probe is recorded and returned — the honesty
-    contract: a repeat that ran on a sick bus says so in the artifact,
-    it is never silently retried or dropped."""
+    """Poll the streaming probe (2-proc and 8-proc) until either gate
+    condition clears or the budget runs out. Every probe is recorded
+    and returned — the honesty contract: a repeat that ran on a sick
+    bus says so in the artifact, it is never silently retried or
+    dropped."""
     probes: list[dict] = []
     t0 = time.time()
     while True:
-        mbs = round(membw_probe(2, seconds=4.0), 1)
-        probes.append({"t_s": round(time.time() - t0, 1), "mb_s": mbs})
-        cleared = mbs >= MEMBW_GATE_MB_S
+        bw2 = round(membw_probe(2, seconds=4.0), 1)
+        bw8 = round(membw_probe(8, seconds=4.0), 1)
+        gain_eff = round(bw8 / bw2 / 4.0, 4)
+        probes.append(
+            {
+                "t_s": round(time.time() - t0, 1),
+                "mb_s": bw2,
+                "mb_s_8proc": bw8,
+                "gain_eff_4x": gain_eff,
+            }
+        )
+        cleared_abs = bw2 >= MEMBW_GATE_MB_S
+        cleared_gain = gain_eff >= MEMBW_GATE_GAIN_EFF
+        cleared = cleared_abs or cleared_gain
         print(
-            f"# membw gate: {mbs:.0f} MB/s (need {MEMBW_GATE_MB_S:.0f})"
+            f"# membw gate: 2p {bw2:.0f} MB/s (abs need {MEMBW_GATE_MB_S:.0f}), "
+            f"8p {bw8:.0f} MB/s → gain-eff {gain_eff:.2f} "
+            f"(need {MEMBW_GATE_GAIN_EFF:.2f})"
             f"{' — firing' if cleared else ''}",
             file=sys.stderr,
         )
         if cleared or (time.time() - t0) > MEMBW_GATE_TIMEOUT_S:
-            return {"gate_mb_s": MEMBW_GATE_MB_S, "cleared": cleared, "probes": probes}
+            return {
+                "gate_mb_s": MEMBW_GATE_MB_S,
+                "gate_gain_eff": MEMBW_GATE_GAIN_EFF,
+                "cleared": cleared,
+                "cleared_by": (
+                    "absolute" if cleared_abs
+                    else "gain" if cleared_gain
+                    else None
+                ),
+                "probes": probes,
+            }
         time.sleep(MEMBW_GATE_POLL_S)
 
 # sized so steady-state per-round compute dominates fixed per-round
