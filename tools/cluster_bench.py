@@ -38,7 +38,8 @@ regimes this host exhibits:
   40000) — the full-bus regime, where a few threads can already pull
   the machine's entire bandwidth.
 - gain: bw(8 procs)/bw(2 procs)/4 ≥ ``$SPARK_GRAFT_MEMBW_GATE_GAIN_EFF``
-  (default 0.8) — the per-core-throttled regime, where each core's
+  (default 0.8) AND bw(8 procs) ≥ ``$SPARK_GRAFT_MEMBW_GATE_MIN8_MB_S``
+  (default 40000) — the per-core-throttled regime, where each core's
   bandwidth is capped well below the bus total so quadrupling threads
   quadruples aggregate bandwidth. What confounds an N→4N *scaling*
   measurement is bus SATURATION (both legs compete for one fixed
@@ -48,7 +49,13 @@ regimes this host exhibits:
   says these numbers should model. The gain gate certifies the
   hardware itself can sustain ≥0.8 weak bandwidth scaling at 4×
   threads, so an engine efficiency below that is attributable to the
-  engine, and one at/above it is a true pass.
+  engine, and one at/above it is a true pass. The absolute 8-proc
+  floor exists because the r4c series showed gain-eff alone is not
+  sufficient: a bus collapsed to a 9.9 GB/s aggregate still probed
+  gain-eff 1.02 (bench_out/cluster_scaling_r4c.json run 3), and legs
+  run on such a bus take 2-4x longer, exposing them to the host's
+  30-60 min bandwidth oscillation mid-leg — the exact confound the
+  gate exists to exclude.
 
 Usage: python tools/cluster_bench.py [n_docs] [iters] [mode] [repeats]
 Writes bench_out/cluster_scaling.json.
@@ -75,6 +82,9 @@ from membw_bench import run as membw_probe  # noqa: E402
 MEMBW_GATE_MB_S = float(os.environ.get("SPARK_GRAFT_MEMBW_GATE_MB_S", "40000"))
 MEMBW_GATE_GAIN_EFF = float(
     os.environ.get("SPARK_GRAFT_MEMBW_GATE_GAIN_EFF", "0.8")
+)
+MEMBW_GATE_MIN8_MB_S = float(
+    os.environ.get("SPARK_GRAFT_MEMBW_GATE_MIN8_MB_S", "40000")
 )
 MEMBW_GATE_TIMEOUT_S = float(
     os.environ.get("SPARK_GRAFT_MEMBW_GATE_TIMEOUT_S", "3600")
@@ -103,12 +113,14 @@ def wait_for_healthy_bus() -> dict:
             }
         )
         cleared_abs = bw2 >= MEMBW_GATE_MB_S
-        cleared_gain = gain_eff >= MEMBW_GATE_GAIN_EFF
+        cleared_gain = (
+            gain_eff >= MEMBW_GATE_GAIN_EFF and bw8 >= MEMBW_GATE_MIN8_MB_S
+        )
         cleared = cleared_abs or cleared_gain
         print(
             f"# membw gate: 2p {bw2:.0f} MB/s (abs need {MEMBW_GATE_MB_S:.0f}), "
             f"8p {bw8:.0f} MB/s → gain-eff {gain_eff:.2f} "
-            f"(need {MEMBW_GATE_GAIN_EFF:.2f})"
+            f"(need {MEMBW_GATE_GAIN_EFF:.2f} and 8p ≥ {MEMBW_GATE_MIN8_MB_S:.0f})"
             f"{' — firing' if cleared else ''}",
             file=sys.stderr,
         )
@@ -116,6 +128,7 @@ def wait_for_healthy_bus() -> dict:
             return {
                 "gate_mb_s": MEMBW_GATE_MB_S,
                 "gate_gain_eff": MEMBW_GATE_GAIN_EFF,
+                "gate_min8_mb_s": MEMBW_GATE_MIN8_MB_S,
                 "cleared": cleared,
                 "cleared_by": (
                     "absolute" if cleared_abs
