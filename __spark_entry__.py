@@ -56,6 +56,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # at round-4 start; VERDICT r3 item 4). Queries added later fall to the
 # end of their registration order until this list is refreshed.
 _GATE_PRIORITY = [
+    # the corpus pipeline gained SQL oracles mid-round-4 (graphq
+    # _CORPUS_CTE) — no driver gate has ever hash-checked it
+    "corpus_edges", "corpus_pagerank", "corpus_components",
+    "corpus_label_prop", "corpus_triangles",
     "hdbscan_embedding_ivf", "umap_xy", "doc_repetition",
     "benchmark_contamination", "docs_without_boilerplate",
     "doc_split_assign", "lang_stratified_sample", "lang_id_heuristic",
@@ -84,4 +88,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the corpus_* oracles read the deterministic corpus from a stable
+    # parquet path; materialize it here so the SQL is runnable even if
+    # the driver evaluates oracles before (or without) the Spark side
+    from citation_graph_spark.fixtures.corpus import ensure_corpus_parquet
+    from citation_graph_spark.operators.graphq import _CORPUS_DOCS, _CORPUS_SEED
+
+    ensure_corpus_parquet(_CORPUS_DOCS, _CORPUS_SEED)
     return _prioritized(dict(operators.ORACLES))

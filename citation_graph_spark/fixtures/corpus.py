@@ -165,3 +165,43 @@ def write_corpus_parquet(spark, n_docs: int, out_dir: str, seed: int = 42) -> st
     path = f"{out_dir.rstrip('/')}/documents_src"
     documents_spark_df(spark, n_docs, seed).write.mode("overwrite").parquet(path)
     return path
+
+
+def corpus_parquet_path(n_docs: int, seed: int = 42) -> str:
+    """Stable on-disk path of the materialized corpus parquet (see
+    :func:`ensure_corpus_parquet`). Pure — safe to embed in oracle SQL
+    strings at registration time, before the file exists."""
+    return f"/tmp/cgs_corpus_{n_docs}_s{seed}_v1.parquet"
+
+
+def ensure_corpus_parquet(n_docs: int, seed: int = 42) -> str:
+    """Materialize ``generate_documents(n_docs, seed)`` at its stable
+    parquet path (idempotent; atomic rename so concurrent callers never
+    see a partial file).
+
+    The DuckDB oracles of the ``corpus_*`` registry queries read this
+    file by absolute path: the generator is seed-deterministic, so the
+    SQL oracle sees input identical to what the engine builds in-memory
+    without the two ever sharing a process — the same independence
+    contract as the sf-dir parquet views (reference test model:
+    data_checks/conftest.py:10-72 loads produced tables read-only)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = corpus_parquet_path(n_docs, seed)
+    if not os.path.exists(path):
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(path) or ".", suffix=".parquet"
+        )
+        os.close(fd)
+        pq.write_table(
+            pa.Table.from_pandas(
+                generate_documents(n_docs, seed=seed), preserve_index=False
+            ),
+            tmp,
+        )
+        os.replace(tmp, path)
+    return path

@@ -33,7 +33,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from citation_graph_spark.fixtures.corpus import generate_documents
+from citation_graph_spark.fixtures.corpus import (
+    corpus_parquet_path,
+    ensure_corpus_parquet,
+    generate_documents,
+)
 from citation_graph_spark.graph import (
     bfs_distances,
     bfs_per_source,
@@ -692,14 +696,58 @@ def graph_part_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Synthesized-corpus pipeline (BASELINE.json input shape) — rows-only.
+# Synthesized-corpus pipeline (BASELINE.json input shape).
+#
+# The corpus is generated in-memory (deterministic, seed-pinned) AND
+# materialized once to a stable parquet path so the DuckDB oracles can
+# read the identical input by absolute path — the oracle then
+# re-implements the ENTIRE pipeline in SQL from the raw documents
+# table: dense vid assignment (row_number over the same lexicographic
+# (repo, path) order as graph/ids.py), quoted-reference extraction
+# (regexp_extract_all mirroring extraction.py's str.extractall),
+# module-key resolution joins, and the iterative kernel as a recursive
+# CTE. Nothing engine-side is reused; this upgrades the whole
+# north-rule pipeline from rows-only to hash-checked.
 _CORPUS_DOCS = 1200
 _CORPUS_SEED = 42
+_CORPUS_PARQUET = corpus_parquet_path(_CORPUS_DOCS, _CORPUS_SEED)
+
+# extraction.py parity, CTE by CTE:
+#   verts   = graph/ids.py assign_dense_ids (lexicographic (repo,path))
+#   mk      = extraction.module_key_col (strip trailing extension)
+#   refs    = extraction.extract_references (quoted strings; strip
+#             .h/.hpp — the c/cpp include forms)
+#   cedges  = extraction.resolve_refs (two joins, self-loop filter,
+#             multiplicity count as DOUBLE weight)
+_CORPUS_CTE = f"""
+    docs AS (SELECT * FROM '{_CORPUS_PARQUET}'),
+    verts AS (SELECT row_number() OVER (ORDER BY repo, path) - 1 AS vid,
+                     repo, path
+              FROM docs),
+    mk AS (SELECT vid, regexp_replace(path, '\\.[A-Za-z0-9]+$', '') AS module_key
+           FROM verts),
+    refs AS (
+      SELECT d.path AS src_path,
+             regexp_replace(u.r, '\\.(h|hpp)$', '') AS ref_key
+      FROM docs d,
+           UNNEST(regexp_extract_all(d.content, '"([^"]+)"', 1)) AS u(r)
+    ),
+    cedges AS (
+      SELECT s.vid AS src, t.vid AS dst, CAST(count(*) AS DOUBLE) AS weight
+      FROM refs r JOIN verts s ON r.src_path = s.path
+                  JOIN mk t ON r.ref_key = t.module_key
+      WHERE s.vid <> t.vid
+      GROUP BY 1, 2
+    ),
+    csym AS (SELECT src, dst FROM cedges UNION SELECT dst, src FROM cedges)
+"""
 
 
 def corpus_tables(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     """documents(repo,path,commit,lang,content) → (vertices, edges)
-    through the full vectorized extraction path."""
+    through the full vectorized extraction path. Also guarantees the
+    oracle's parquet twin of the corpus exists on disk."""
+    ensure_corpus_parquet(_CORPUS_DOCS, _CORPUS_SEED)
     pdf = generate_documents(_CORPUS_DOCS, seed=_CORPUS_SEED)
     docs = spark.createDataFrame(pdf)
     vertices = build_vertices(docs)
@@ -707,20 +755,68 @@ def corpus_tables(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
     return vertices, edges
 
 
-@register("corpus_edges")
+@register(
+    "corpus_edges",
+    oracle=f"""
+    WITH {_CORPUS_CTE}
+    SELECT src, dst, weight FROM cedges
+    """,
+)
 def corpus_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge extraction end-to-end on the mandated input shape (the
     reference's citation-fetch stage, gather_articles.py:234-240,
-    re-expressed as one distributed pass). Rows-only check here;
-    exactness is pinned by tests/test_extraction.py."""
+    re-expressed as one distributed pass), hash-checked against a full
+    SQL re-implementation of extraction + id assignment; byte-level
+    exactness additionally pinned by tests/test_extraction.py."""
     _, edges = corpus_tables(spark)
     return edges
 
 
-@register("corpus_pagerank")
+@register(
+    "corpus_pagerank",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_CTE},
+    en AS (SELECT src, dst, weight / sum(weight) OVER (PARTITION BY src) AS wnorm
+           FROM cedges),
+    -- zero-weight self-loops: every vertex receives >=1 message per
+    -- round, so the grouped recursive term covers the full vertex set
+    -- and the e.src = e.dst row carries each vertex's own prev rank
+    en2 AS (SELECT src, dst, wnorm FROM en
+            UNION ALL SELECT vid, vid, 0.0 FROM verts),
+    vflag AS (SELECT v.vid, v.vid NOT IN (SELECT src FROM cedges) AS dang
+              FROM verts v),
+    nv AS (SELECT count(*) AS n FROM verts),
+    pr(it, v, r, l1, dm) AS (
+      SELECT 0, vid, 1.0 / (SELECT n FROM nv), 1e18,
+             (SELECT count(*) FROM vflag WHERE dang)
+               / CAST((SELECT n FROM nv) AS DOUBLE)
+      FROM verts
+      UNION ALL
+      SELECT x.it, x.v, x.r,
+             sum(abs(x.r - x.r_prev)) OVER () AS l1,
+             sum(CASE WHEN f.dang THEN x.r ELSE 0 END) OVER () AS dm
+      FROM (
+        SELECT p.it + 1 AS it, e.dst AS v,
+               (1.0 - 0.85) / (SELECT n FROM nv)
+                 + 0.85 * (sum(p.r * e.wnorm)
+                           + max(p.dm) / (SELECT n FROM nv)) AS r,
+               max(CASE WHEN e.src = e.dst THEN p.r END) AS r_prev
+        FROM pr p JOIN en2 e ON p.v = e.src
+        WHERE p.l1 >= 0.000001 AND p.it < 200
+        GROUP BY 1, 2
+      ) x JOIN vflag f ON x.v = f.vid
+    )
+    SELECT v AS vid, cast(floor(r * 1000000000 + 0.5) AS BIGINT) AS score_nano
+    FROM pr WHERE it = (SELECT max(it) FROM pr)
+    """,
+)
 def corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule PageRank to 1e-6 convergence on the extracted corpus
-    graph (oracle: numpy power iteration in tests/oracles.py)."""
+    graph — weighted by reference multiplicity, dangling mass
+    redistributed, SAME l1 stopping rule in the oracle (the recursive
+    CTE carries per-round l1 and dangling mass in every row and halts
+    when l1 < tol, exactly like the engine's stats pass). Also exactly
+    replayed by the numpy oracle in tests/oracles.py."""
     vertices, edges = corpus_tables(spark)
     ranks = pagerank(edges, vertices=vertices.select("vid"), tol=1e-6)
     return ranks.select(
@@ -731,20 +827,84 @@ def corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("corpus_components")
+@register(
+    "corpus_components",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_CTE},
+    reach(v, l) AS (
+      SELECT vid, vid FROM verts
+      UNION
+      SELECT s.dst, reach.l FROM reach JOIN csym s ON reach.v = s.src
+    )
+    SELECT v AS vid, min(l) AS component FROM reach GROUP BY v
+    """,
+)
 def corpus_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the extracted corpus graph (min-vid
+    label, undirected closure; isolated docs are their own component)
+    vs a reachability-closure oracle over the SQL-re-extracted edges."""
     vertices, edges = corpus_tables(spark)
     return connected_components(edges, vertices=vertices.select("vid"))
 
 
-@register("corpus_label_prop")
+@register(
+    "corpus_label_prop",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_CTE},
+    lab(it, v, l) AS (
+      SELECT 0, vid, vid FROM verts
+      UNION ALL
+      SELECT it, v, l FROM (
+        SELECT x.it + 1 AS it, x.dst AS v, x.nl AS l,
+               row_number() OVER (PARTITION BY x.dst
+                                  ORDER BY x.c DESC, x.nl) AS rn
+        FROM (
+          SELECT lab.it, s.dst, lab.l AS nl, count(*) AS c
+          FROM lab JOIN csym s ON lab.v = s.src
+          WHERE lab.it < {_LP_ITERS}
+          GROUP BY lab.it, s.dst, lab.l
+        ) x
+      ) WHERE rn = 1
+    )
+    SELECT vt.vid, coalesce(l5.l, vt.vid) AS label
+    FROM verts vt
+      LEFT JOIN (SELECT v, l FROM lab WHERE it = {_LP_ITERS}) l5
+        ON vt.vid = l5.v
+    """,
+)
 def corpus_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation (5 synchronous rounds, mode-of-neighbors,
+    min-label tie-break) on the corpus graph; isolated docs keep their
+    own label via the oracle's left join."""
     vertices, edges = corpus_tables(spark)
     return label_propagation(edges, vertices=vertices.select("vid"), max_iter=5)
 
 
-@register("corpus_triangles")
+@register(
+    "corpus_triangles",
+    oracle=f"""
+    WITH {_CORPUS_CTE},
+    canon AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM cedges),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM canon e1 JOIN canon e2 ON e2.a = e1.b
+                    JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+      SELECT x AS vid FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT vt.vid, coalesce(t.n, 0) AS n_triangles
+    FROM verts vt LEFT JOIN
+      (SELECT vid, count(*) AS n FROM corners GROUP BY vid) t USING (vid)
+    """,
+)
 def corpus_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts on the canonicalized (least, greatest)
+    undirected corpus edges vs the triple-join oracle; all docs served,
+    triangle-free ones as 0."""
     vertices, edges = corpus_tables(spark)
     return triangle_counts(edges, vertices=vertices.select("vid"))
 

@@ -23,8 +23,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 operators.load_all()
 
-# corpus_* kernels are covered exactly by tests/test_graph_kernels.py
-# oracles; they have no SQL oracle here
+# includes the corpus_* pipeline queries: their oracles re-implement
+# extraction + id assignment + the iterative kernel in SQL over the
+# materialized corpus parquet (graphq._CORPUS_CTE); the kernels are
+# additionally replayed exactly by tests/test_graph_kernels.py
 ORACLE_QUERIES = sorted(operators.ORACLES)
 
 
@@ -75,14 +77,15 @@ def test_oracle_parity(spark, duck, name):
 
 
 def test_rows_only_queries_have_kernel_oracles():
-    """Queries without SQL oracles must be the corpus kernel runs
-    (exact pytest oracles in test_graph_kernels.py), k-means (no
+    """Queries without SQL oracles must be k-means (no
     cross-implementation oracle exists; determinism in test_kmeans,
     metric-checked in test_clustering_metrics; the Pareto front is a
     deterministic driver-side reduction of the same sweep, invariants
-    in test_kmeans), pca_xy/tsne_xy (full numpy pipeline-replay
-    oracles in test_dimred), or LDA topics (determinism + invariants
-    in test_topics)."""
+    in test_kmeans), pca_xy/tsne_xy/umap_xy (full numpy
+    pipeline-replay oracles in test_dimred), or LDA/NMF topics
+    (determinism + invariants in test_topics). The corpus_* pipeline
+    queries are deliberately NOT allowed here: they gained full SQL
+    oracles (graphq._CORPUS_CTE) and must keep them."""
     rows_only = set(operators.QUERIES) - set(operators.ORACLES)
     allowed = {
         "embedding_kmeans",
@@ -94,4 +97,4 @@ def test_rows_only_queries_have_kernel_oracles():
         "tsne_xy",
         "umap_xy",  # full numpy pipeline-replay oracle in test_dimred
     }
-    assert all(n.startswith("corpus_") or n in allowed for n in rows_only), rows_only
+    assert rows_only <= allowed, rows_only
