@@ -44,6 +44,7 @@ def load_all() -> None:
     """Import every operator module so registration side-effects run."""
     from citation_graph_spark.operators import (  # noqa: F401
         clustering,
+        curation,
         dbscan,
         dedup,
         density,

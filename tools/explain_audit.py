@@ -42,6 +42,9 @@ AUDIT = [
     ("boruvka_round", "one MSF nomination round: 2 joins + union + window, bounded exchanges"),
     ("doc_repetition", "Gopher repetition signals: token explode partial-agg + no-Generate trigram distinctness, one doc_id shuffle"),
     ("benchmark_contamination", "decontamination probe: eval-shingle side must BROADCAST (lineage audited pre-checkpoint)"),
+    ("pii_redaction", "PII count+scrub: pure regexp column expressions, zero exchanges"),
+    ("doc_chunks", "context-window chunking: per-row transform + posexplode, zero exchanges"),
+    ("corpus_mixture", "mixture/epoch weighting: when-chain weights + sequence explode, zero exchanges"),
 ]
 
 
