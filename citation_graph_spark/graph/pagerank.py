@@ -116,28 +116,43 @@ def _pagerank(
     metrics = MetricsLogger(metrics_path, "pagerank")
     ckpt = CheckpointManager(checkpoint_dir, "pagerank") if checkpoint_dir else None
 
+    # ONE pass over the (possibly expensively derived) input edge table:
+    # cache it raw, count it for partition sizing, then build the
+    # normalized co-partitioned loop table with a single shuffle. The
+    # out-degree side is computed under the kernel's shuffle width, so
+    # the normalize join is co-partitioned — no second edge exchange —
+    # and its src set doubles as the dangling-vertex detector (replacing
+    # a from-scratch edges.select(src).distinct() scan). At 100 TB the
+    # edge table is the big object; setup must not materialize it twice.
+    edges_p = edges.persist()
+    edge_count = edges_p.count()
+    if num_partitions is None:
+        num_partitions = auto_partitions(spark, edge_count)
+
     if vertices is None:
         vertices = (
-            edges.select(F.col("src").alias("vid"))
-            .unionByName(edges.select(F.col("dst").alias("vid")))
+            edges_p.select(F.col("src").alias("vid"))
+            .unionByName(edges_p.select(F.col("dst").alias("vid")))
             .distinct()
         )
     vertices = vertices.select("vid")
 
-    # normalize edge weights by (weighted) out-degree once, up front
-    out_deg = edges.groupBy("src").agg(F.sum("weight").alias("_wout"))
-    edges_n0 = (
-        edges.join(out_deg, "src")
-        .select("src", "dst", (F.col("weight") / F.col("_wout")).alias("wnorm"))
-        .persist()
-    )
-    edge_count = edges_n0.count()
-    if num_partitions is None:
-        num_partitions = auto_partitions(spark, edge_count)
-    # pin the co-partitioning every round reuses (SURVEY §4.3)
-    edges_n = edges_n0.repartition(num_partitions, "src").persist()
-    edges_n.count()
-    edges_n0.unpersist()
+    with shuffle_partitions_conf(spark, num_partitions):
+        out_deg = (
+            edges_p.groupBy("src").agg(F.sum("weight").alias("_wout")).persist()
+        )
+        # pin the co-partitioning every round reuses (SURVEY §4.3)
+        edges_n = (
+            edges_p.repartition(num_partitions, "src")
+            .join(out_deg, "src")
+            .select(
+                "src", "dst", (F.col("weight") / F.col("_wout")).alias("wnorm")
+            )
+            .persist()
+        )
+        edges_n.count()
+    # edges_p stays cached until the initial rank vector is materialized:
+    # the derived-vertices lineage and the dangling anti-join read it.
 
     n = vertices.count()
     if n == 0:
@@ -154,10 +169,12 @@ def _pagerank(
             if manifest.get("meta", {}).get("converged"):
                 # already at fixpoint — identical results, no extra rounds
                 edges_n.unpersist()
+                out_deg.unpersist()
+                edges_p.unpersist()
                 return ranks.select("vid", F.col("rank").alias("score"))
     if ranks is None:
         dangling_flags = vertices.join(
-            edges.select("src").distinct(),
+            out_deg.select("src"),
             vertices["vid"] == F.col("src"),
             "left_anti",
         ).withColumn("is_dangling", F.lit(True))
@@ -192,6 +209,10 @@ def _pagerank(
                 .repartition(num_partitions, "vid")
                 .localCheckpoint(eager=True)
             )
+
+    # ranks is eagerly checkpointed — lineage cut; release the setup caches
+    out_deg.unpersist()
+    edges_p.unpersist()
 
     teleport = (1.0 - alpha) / n
     total_wall = 0.0
