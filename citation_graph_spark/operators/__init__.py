@@ -56,5 +56,6 @@ def load_all() -> None:
         sampling,
         similarity,
         textops,
+        tokenization,
         topics,
     )

@@ -1,0 +1,173 @@
+"""Tokenization-stage operators: sequence packing and BPE merge
+statistics — the stages between chunking (operators/curation.py
+``doc_chunks``) and the actual trainer.
+
+Reference analog: the reference stops at flat per-article text fields
+(schemas.py ``abstract``/``title``; row-wise pandas cleaning in
+utils.py:76-98) and never packs sequences — these operators extend the
+engine's training-data surface the same way the dedup/quality family
+does, re-expressed Spark-first.
+
+Scale posture:
+- ``context_packing`` is the concatenate-and-split packing real
+  pipelines run: token streams are concatenated in a deterministic
+  order and cut every ``PACK_L`` tokens. Packing is inherently
+  sequential, so it is parallelized the way a 1000-executor job would:
+  documents are hash-sharded (``NSHARDS`` strata), each shard packs
+  independently with a window cumsum — ONE exchange on the shard key,
+  skew bounded by the hash. At 100 TB, NSHARDS grows with the input
+  (it is a parameter, not a constant of the algorithm).
+- ``bpe_pair_counts`` is one BPE merge round: adjacent-token pair
+  frequencies. Pair explosion is a narrow per-row transform;
+  the count is a map-side-combined groupBy (heavy-hitter pairs
+  collapse to one row per partition before the shuffle); the top-k is
+  a TakeOrdered, never a global sort materialization.
+
+Cross-engine notes: tokenization is the whitespace split used by
+``token_counts``/``doc_chunks`` (parity long established by the gate);
+window frames are the default RANGE-to-current on a unique orderBy key
+(identical on both engines); top-k ordering is the strict total order
+(n DESC, pair ASC) so the cut is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from citation_graph_spark.operators import register
+from citation_graph_spark.tables import load_tables
+
+# context length and shard count for packing. Fixture docs run 10-99
+# whitespace tokens, so L=64 yields multi-doc packs AND docs that span
+# pack boundaries — both split cases exercised. NSHARDS=8 keeps several
+# packs per shard at sf0.001.
+PACK_L = 64
+NSHARDS = 8
+
+# BPE statistics: report the TOP_K most frequent adjacent pairs.
+BPE_TOP_K = 100
+
+
+def _toks():
+    return F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+
+
+_TOKS_SQL = r"string_split_regex(trim(coalesce(text, '')), '\s+')"
+
+
+@register(
+    "context_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len({_TOKS_SQL}) AS nt,
+             doc_id % {NSHARDS} AS shard
+      FROM documents
+    ),
+    c AS (
+      SELECT shard, doc_id, nt,
+             -- DuckDB windowed sum(BIGINT) yields HUGEINT; range() needs BIGINT
+             cast(sum(nt) OVER (PARTITION BY shard ORDER BY doc_id)
+                  AS BIGINT) AS cum
+      FROM t
+    ),
+    e AS (
+      SELECT shard, doc_id, nt, cum,
+             unnest(range((cum - nt) // {PACK_L},
+                          ((cum - 1) // {PACK_L}) + 1)) AS pack_id
+      FROM c
+    )
+    SELECT cast(shard AS BIGINT) AS shard,
+           cast(pack_id AS BIGINT) AS pack_id,
+           doc_id,
+           cast(least(cum, (pack_id + 1) * {PACK_L})
+                - greatest(cum - nt, pack_id * {PACK_L}) AS BIGINT)
+             AS pack_tokens
+    FROM e
+    """,
+)
+def context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-split sequence packing: documents are
+    hash-sharded, each shard's token streams are concatenated in
+    doc_id order and cut every ``PACK_L`` tokens. One output row per
+    (document, context) incidence with the token count that document
+    contributes to that context — the pack manifest a loader needs.
+
+    Every shard's packs are full (exactly ``PACK_L`` tokens) except
+    its last; a long document spans consecutive packs. Deterministic
+    at any scale (no rand(); order is the doc_id total order within a
+    shard). Physical shape: one exchange on the shard key for the
+    window cumsum, then a narrow sequence-explode."""
+    d = load_tables(spark, sf_dir)["documents"]
+    base = d.select(
+        "doc_id",
+        F.size(_toks()).alias("nt"),
+        F.pmod(F.col("doc_id"), F.lit(NSHARDS)).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    return (
+        base.withColumn("cum", F.sum("nt").over(w))
+        .withColumn("first_pack", F.expr(f"(cum - nt) div {PACK_L}"))
+        .withColumn("last_pack", F.expr(f"(cum - 1) div {PACK_L}"))
+        .select(
+            "shard",
+            "doc_id",
+            "nt",
+            "cum",
+            F.explode(F.sequence("first_pack", "last_pack")).alias("pack_id"),
+        )
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            F.col("pack_id").cast("long").alias("pack_id"),
+            "doc_id",
+            (
+                F.least(F.col("cum"), (F.col("pack_id") + 1) * PACK_L)
+                - F.greatest(F.col("cum") - F.col("nt"), F.col("pack_id") * PACK_L)
+            )
+            .cast("long")
+            .alias("pack_tokens"),
+        )
+    )
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+    p AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1]))
+               AS pair
+      FROM t
+    )
+    SELECT pair, cast(count(*) AS BIGINT) AS n
+    FROM p GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {BPE_TOP_K}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge round: the ``BPE_TOP_K`` most frequent adjacent
+    whitespace-token pairs across the corpus (strict total order
+    (n DESC, pair ASC) so the cut is deterministic on both engines).
+    Iterating this — merge the winner, re-split, recount — is exactly
+    the BPE training loop; one round is the distributed primitive.
+
+    Physical shape: narrow pair explode → map-side-combined groupBy →
+    TakeOrdered top-k (no global sort materialization)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    base = d.select(_toks().alias("toks"))
+    pairs = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "transform(sequence(0, size(toks) - 2),"
+        " i -> concat(toks[i], ' ', toks[i + 1])) "
+        "ELSE array() END"
+    )
+    return (
+        base.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_TOP_K)
+    )

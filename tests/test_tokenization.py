@@ -1,0 +1,115 @@
+"""Invariants + plan pins for the tokenization-stage operators
+(operators/tokenization.py). Oracle parity is covered by
+tests/test_operators.py; these pin the semantic guarantees a hash
+can't express: packing covers every token exactly once with full
+contexts, and the pair counts equal an independent Python recount.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from citation_graph_spark import operators
+from citation_graph_spark.operators.tokenization import (
+    BPE_TOP_K,
+    NSHARDS,
+    PACK_L,
+)
+from citation_graph_spark.planaudit import plan_stats, static_plans
+from citation_graph_spark.tables import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+operators.load_all()
+
+
+def _doc_tokens(spark):
+    d = load_tables(spark, SF_DIR)["documents"]
+    return {
+        r["doc_id"]: r["toks"]
+        for r in d.select(
+            "doc_id",
+            F.split(
+                F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"
+            ).alias("toks"),
+        ).collect()
+    }
+
+
+def test_context_packing_covers_every_token_exactly_once(spark):
+    """Independent Python replay: concatenate each shard's token
+    streams in doc_id order, cut every PACK_L — the manifest must
+    match row-for-row, and every pack except a shard's last must be
+    full."""
+    toks = _doc_tokens(spark)
+    expect: dict[tuple, int] = {}
+    shard_cum: dict[int, int] = {}
+    for doc_id in sorted(toks):
+        shard = doc_id % NSHARDS
+        nt = len(toks[doc_id])
+        start = shard_cum.get(shard, 0)
+        end = start + nt
+        for pack in range(start // PACK_L, (end - 1) // PACK_L + 1):
+            lo, hi = max(start, pack * PACK_L), min(end, (pack + 1) * PACK_L)
+            expect[(shard, pack, doc_id)] = hi - lo
+        shard_cum[shard] = end
+
+    rows = operators.QUERIES["context_packing"](spark, SF_DIR).collect()
+    got = {
+        (r["shard"], r["pack_id"], r["doc_id"]): r["pack_tokens"]
+        for r in rows
+    }
+    assert got == expect
+
+    # fullness: within each shard every pack but the last is exactly L
+    per_pack: dict[tuple, int] = {}
+    for (shard, pack, _doc), n in got.items():
+        per_pack[(shard, pack)] = per_pack.get((shard, pack), 0) + n
+    last = {}
+    for shard, pack in per_pack:
+        last[shard] = max(last.get(shard, -1), pack)
+    for (shard, pack), n in per_pack.items():
+        if pack < last[shard]:
+            assert n == PACK_L, (shard, pack, n)
+        else:
+            assert 1 <= n <= PACK_L
+    # a doc longer than L (fixture has 65-99-token docs) spans packs
+    assert any(
+        sum(1 for (s, p, d2) in got if d2 == d) > 1 for d in toks
+    ), "no document spans a pack boundary — fixture too small for L"
+
+
+def test_bpe_pair_counts_match_python_recount(spark):
+    """Counter-based oracle over the identical tokenization, top-K by
+    the same (n DESC, pair ASC) total order."""
+    toks = _doc_tokens(spark)
+    c: Counter = Counter()
+    for ts in toks.values():
+        for a, b in zip(ts, ts[1:]):
+            c[f"{a} {b}"] += 1
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_K]
+
+    rows = operators.QUERIES["bpe_pair_counts"](spark, SF_DIR).collect()
+    got = sorted(
+        ((r["pair"], r["n"]) for r in rows), key=lambda kv: (-kv[1], kv[0])
+    )
+    assert got == expect
+
+
+def test_tokenization_plans(spark):
+    """context_packing: ONE exchange (the shard window), no joins.
+    bpe_pair_counts: the groupBy exchange only; top-k must be a
+    TakeOrdered, not a global sort materialization."""
+    with static_plans(spark):
+        s = plan_stats(operators.QUERIES["context_packing"](spark, SF_DIR))
+        # plan_stats counts the node in both the tree and the detail
+        # listing of the formatted plan: 2 == ONE physical exchange
+        assert s["exchanges"] == 2, s["exchanges"]
+        assert s["cartesian"] == 0 and s["sort_merge_joins"] == 0
+
+        s = plan_stats(operators.QUERIES["bpe_pair_counts"](spark, SF_DIR))
+        assert s["exchanges"] <= 2, s["exchanges"]
+        assert s["cartesian"] == 0 and s["sort_merge_joins"] == 0
+        assert "TakeOrderedAndProject" in s["formatted"], s["formatted"][:2000]

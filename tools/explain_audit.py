@@ -45,6 +45,8 @@ AUDIT = [
     ("pii_redaction", "PII count+scrub: pure regexp column expressions, zero exchanges"),
     ("doc_chunks", "context-window chunking: per-row transform + posexplode, zero exchanges"),
     ("corpus_mixture", "mixture/epoch weighting: when-chain weights + sequence explode, zero exchanges"),
+    ("context_packing", "sequence packing: shard-window cumsum, ONE exchange on the shard key"),
+    ("bpe_pair_counts", "BPE pair stats: pair explode + map-side-combined groupBy + TakeOrdered top-k"),
 ]
 
 
