@@ -46,6 +46,11 @@ HEADLINE = [
     # ε-join or the Borůvka MSF show up as numbers, not just plans
     "dbscan_embedding_ivf",
     "hdbscan_embedding_ivf",
+    # r4 late additions: the curation/tokenization pipeline stages —
+    # pii_redaction measures JVM regex throughput (pure codegen map),
+    # context_packing the shard-window packing shuffle
+    "pii_redaction",
+    "context_packing",
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
