@@ -56,6 +56,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # at round-4 start; VERDICT r3 item 4). Queries added later fall to the
 # end of their registration order until this list is refreshed.
 _GATE_PRIORITY = [
+    # never-gated: the round-4 bibliometrics pack
+    "corpus_cocitation", "corpus_bib_coupling", "corpus_link_predict_ra",
+    "corpus_neighbor_jaccard", "corpus_katz", "corpus_h_index",
+    "corpus_self_citation",
     # the corpus pipeline gained SQL oracles mid-round-4 (graphq
     # _CORPUS_CTE) — no driver gate has ever hash-checked it
     "corpus_edges", "corpus_pagerank", "corpus_components",

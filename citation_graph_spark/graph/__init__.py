@@ -12,6 +12,7 @@ from citation_graph_spark.graph.traversal import (
 )
 from citation_graph_spark.graph.kcore import k_core
 from citation_graph_spark.graph.hits import hits
+from citation_graph_spark.graph.katz import katz_centrality
 
 __all__ = [
     "assign_dense_ids",
@@ -27,5 +28,6 @@ __all__ = [
     "personalized_pagerank",
     "k_core",
     "hits",
+    "katz_centrality",
     "sssp",
 ]

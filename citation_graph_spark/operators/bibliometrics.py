@@ -1,0 +1,398 @@
+"""Bibliometric queries over the extracted citation graph.
+
+The reference's serving surface is per-paper citation prestige: SERP
+``cited_by`` totals carried onto every Article
+(reference: scripts/serp_fetch_citations.py:223-227,
+scripts/combine_serp.py:226) and Cypher perspectives of the form
+``(citing)-[:CITES]->(cited) WITH cited, COUNT(citing) AS
+citationCount WHERE citationCount > $minCitations``
+(reference: perspectives/bbp_or_not_perspective.json,
+timeview_perspective.json). This module re-expresses that family —
+and its standard bibliometric extensions (co-citation, bibliographic
+coupling, neighborhood link prediction, Katz prestige, h-index,
+self-citation rate) — as declarative DataFrame plans over the SAME
+directed edge table the north-rule kernels run on
+(operators/graphq.py ``corpus_tables``), each hash-checked against a
+DuckDB oracle that re-derives the pipeline from the raw documents
+parquet.
+
+Cross-engine determinism: every score here is either an exact integer
+(pair counts, h-index, set sizes) or an integer-quantized rational
+computed with INTEGER DIVISION on both engines (``//`` in DuckDB,
+``div`` in Spark SQL) so no float ever crosses the hash — except Katz,
+which follows the PageRank contract (identical fixed schedule both
+sides, ~1e-15 summation-order divergence, floored at 1e-9).
+
+Scale posture: co-citation / coupling / common-neighbor queries are
+wedge self-joins — the same shape as graph/triangles.py, with the
+wedge-center key as the only shuffle key, so they partition cleanly;
+the quadratic-in-degree blowup at hub vertices is bounded in practice
+the same way triangles bounds it (degree orientation there; here a
+``HAVING count >= threshold`` keeps the emitted pair set sparse, and
+at 100-TB scale the standard mitigation is capping per-vertex
+adjacency at top-k by weight before the wedge join — one added
+window, no shape change).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from citation_graph_spark.graph import katz_centrality, undirect
+from citation_graph_spark.operators import register
+from citation_graph_spark.operators.graphq import _CORPUS_CTE, corpus_tables
+
+_KATZ_ALPHA = 0.001
+_KATZ_ITERS = 8
+
+
+def _dedges(spark: SparkSession) -> DataFrame:
+    """Distinct directed citation links (multiplicity dropped: one
+    citation relationship per (citing, cited) pair, exactly the
+    reference's COUNT(citing) Cypher semantics)."""
+    _, edges = corpus_tables(spark)
+    return edges.select("src", "dst").distinct()
+
+
+# --------------------------------------------------------------------------
+@register(
+    "corpus_cocitation",
+    oracle=f"""
+    WITH {_CORPUS_CTE},
+    ced AS (SELECT DISTINCT src, dst FROM cedges)
+    SELECT e1.dst AS a, e2.dst AS b, count(*) AS cocite_count
+    FROM ced e1 JOIN ced e2 ON e1.src = e2.src AND e1.dst < e2.dst
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def corpus_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation strength (Small 1973): documents (a, b) cited
+    together by >= 2 common citing documents — the similarity measure
+    behind the reference's related-paper serving (its Cypher
+    ``(citing)-[:CITES]->(cited)`` pattern family,
+    perspectives/bbp_or_not_perspective.json). Wedge self-join keyed on
+    the citing document."""
+    e = _dedges(spark)
+    e1 = e.select(F.col("src").alias("s"), F.col("dst").alias("a"))
+    e2 = e.select(F.col("src").alias("s"), F.col("dst").alias("b"))
+    return (
+        e1.join(e2, "s")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cocite_count"))
+        .filter(F.col("cocite_count") >= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "corpus_bib_coupling",
+    oracle=f"""
+    WITH {_CORPUS_CTE},
+    ced AS (SELECT DISTINCT src, dst FROM cedges)
+    SELECT e1.src AS a, e2.src AS b, count(*) AS couple_count
+    FROM ced e1 JOIN ced e2 ON e1.dst = e2.dst AND e1.src < e2.src
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def corpus_bib_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic coupling (Kessler 1963): documents (a, b) whose
+    reference lists share >= 2 common cited documents — the dual of
+    co-citation, wedge self-join keyed on the cited document."""
+    e = _dedges(spark)
+    e1 = e.select(F.col("dst").alias("d"), F.col("src").alias("a"))
+    e2 = e.select(F.col("dst").alias("d"), F.col("src").alias("b"))
+    return (
+        e1.join(e2, "d")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("couple_count"))
+        .filter(F.col("couple_count") >= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "corpus_link_predict_ra",
+    oracle=f"""
+    WITH {_CORPUS_CTE},
+    deg AS (SELECT src AS v, count(*) AS degree FROM csym GROUP BY src),
+    wedge AS (
+      SELECT x1.dst AS a, x2.dst AS b, x1.src AS z
+      FROM csym x1 JOIN csym x2 ON x1.src = x2.src AND x1.dst < x2.dst
+    ),
+    scored AS (
+      SELECT w.a, w.b, count(*) AS cn,
+             sum(1000000000000 // d.degree) AS score_pico
+      FROM wedge w JOIN deg d ON w.z = d.v
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT s.a, s.b, s.cn, s.score_pico
+    FROM scored s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM csym c WHERE c.src = s.a AND c.dst = s.b
+    )
+    """,
+)
+def corpus_link_predict_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link prediction (Zhou, Lu, Zhang 2009):
+    for non-adjacent pairs (a, b) with >= 2 common neighbors in the
+    undirected citation graph, score = SUM_z 1/deg(z) over common
+    neighbors z — quantized to exact picounits via integer division so
+    the cross-engine hash is float-free (the ``1/log deg`` Adamic-Adar
+    variant is the identical plan with a different per-vertex weight).
+    Predicts the links the crawl hasn't seen yet — the reference's
+    serendipitous-related-paper use case served from graph structure
+    alone."""
+    sym = undirect(_dedges(spark))
+    deg = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    w1 = sym.select(F.col("src").alias("z"), F.col("dst").alias("a"))
+    w2 = sym.select(F.col("src").alias("z"), F.col("dst").alias("b"))
+    scored = (
+        w1.join(w2, "z")
+        .filter(F.col("a") < F.col("b"))
+        .join(deg, F.col("z") == F.col("v"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(F.expr("1000000000000 div degree")).alias("score_pico"),
+        )
+        .filter(F.col("cn") >= 2)
+    )
+    adj = sym.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    return scored.join(adj, ["a", "b"], "left_anti")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "corpus_neighbor_jaccard",
+    oracle=f"""
+    WITH {_CORPUS_CTE},
+    deg AS (SELECT src AS v, count(*) AS degree FROM csym GROUP BY src),
+    pairs AS (SELECT src AS a, dst AS b FROM csym WHERE src < dst),
+    wedge AS (
+      SELECT x1.dst AS a, x2.dst AS b, count(*) AS inter
+      FROM csym x1 JOIN csym x2 ON x1.src = x2.src AND x1.dst < x2.dst
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT p.a, p.b, coalesce(w.inter, 0) AS inter,
+             da.degree + db.degree - coalesce(w.inter, 0) AS uni
+      FROM pairs p
+      LEFT JOIN wedge w ON p.a = w.a AND p.b = w.b
+      JOIN deg da ON p.a = da.v
+      JOIN deg db ON p.b = db.v
+    )
+    SELECT a, b, inter, uni, (1000000 * inter) // uni AS jacc_micro
+    FROM j
+    """,
+)
+def corpus_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity of each LINKED pair (a, b):
+    |N(a) n N(b)| / |N(a) u N(b)| in exact integers + micro-quantized
+    ratio — the classic edge-strength / community-embeddedness measure
+    (an edge whose endpoints share most neighbors is intra-community;
+    one sharing none is a bridge). Same wedge join as co-citation plus
+    two broadcast-size degree joins."""
+    sym = undirect(_dedges(spark))
+    deg = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    pairs = sym.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    w1 = sym.select(F.col("src").alias("z"), F.col("dst").alias("a"))
+    w2 = sym.select(F.col("src").alias("z"), F.col("dst").alias("b"))
+    wedge = (
+        w1.join(w2, "z")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("v").alias("b"), F.col("degree").alias("degb"))
+    return (
+        pairs.join(wedge, ["a", "b"], "left")
+        .join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.coalesce("inter", F.lit(0)).alias("inter"),
+            (
+                F.col("dega") + F.col("degb") - F.coalesce("inter", F.lit(0))
+            ).alias("uni"),
+        )
+        .withColumn("jacc_micro", F.expr("(1000000 * inter) div uni"))
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "corpus_katz",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_CTE},
+    ced AS (SELECT DISTINCT src, dst FROM cedges),
+    -- zero-weight self-loops: every vertex receives >=1 message per
+    -- round so the grouped recursive term covers the full vertex set
+    en2 AS (SELECT src, dst, CAST(1.0 AS DOUBLE) AS w FROM ced
+            UNION ALL SELECT vid, vid, CAST(0.0 AS DOUBLE) FROM verts),
+    -- all-DOUBLE arithmetic: bare 1.0/0.001 literals are DECIMAL in
+    -- DuckDB and would silently run the recursion at decimal scale
+    kz(it, v, x) AS (
+      SELECT 0, vid, CAST(1.0 AS DOUBLE) FROM verts
+      UNION ALL
+      SELECT p.it + 1, e.dst,
+             CAST(1.0 AS DOUBLE)
+               + CAST({_KATZ_ALPHA} AS DOUBLE) * sum(p.x * e.w)
+      FROM kz p JOIN en2 e ON p.v = e.src
+      WHERE p.it < {_KATZ_ITERS}
+      GROUP BY 1, 2
+    )
+    SELECT v AS vid,
+           cast(floor(x * 1000000000 + 0.5) AS BIGINT) AS score_nano
+    FROM kz WHERE it = {_KATZ_ITERS}
+    """,
+)
+def corpus_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (fixed 8 synchronous rounds, alpha=0.001,
+    beta=1) on the distinct directed citation graph — attenuated
+    walk-count prestige, the bibliometric ancestor of the PageRank the
+    reference proxies through citation counts
+    (serp_fetch_citations.py:223-227). Oracle is a recursive CTE
+    running the IDENTICAL schedule (same self-loop device as the
+    PageRank oracle); scores floored at 1e-9 per the PageRank
+    determinism contract."""
+    ranks = katz_centrality(
+        _dedges(spark),
+        alpha=_KATZ_ALPHA,
+        beta=1.0,
+        max_iter=_KATZ_ITERS,
+    )
+    return ranks.select(
+        "vid",
+        F.floor(F.col("score") * 1000000000 + F.lit(0.5))
+        .cast("long")
+        .alias("score_nano"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "corpus_h_index",
+    oracle=f"""
+    WITH {_CORPUS_CTE},
+    ced AS (SELECT DISTINCT src, dst FROM cedges),
+    cites AS (SELECT dst AS vid, count(*) AS cites FROM ced GROUP BY dst),
+    percited AS (
+      SELECT v.repo, v.vid, coalesce(c.cites, 0) AS cites
+      FROM verts v LEFT JOIN cites c ON v.vid = c.vid
+    ),
+    ranked AS (
+      SELECT repo, cites,
+             row_number() OVER (
+               PARTITION BY repo ORDER BY cites DESC, vid
+             ) AS rn
+      FROM percited
+    )
+    SELECT repo,
+           max(CASE WHEN cites >= rn THEN rn ELSE 0 END) AS h_index
+    FROM ranked GROUP BY repo
+    """,
+)
+def corpus_h_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-repo h-index over in-citation counts: the largest h such
+    that the repo has >= h documents with >= h citations each — the
+    exact aggregate the reference computes per author from its
+    gathered citation counts (combine_serp.py:226 carries ``cited_by``
+    onto articles; gather_authors.py groups them by author). Exact
+    integers end-to-end; one count shuffle + one per-repo window."""
+    vertices, _ = corpus_tables(spark)
+    e = _dedges(spark)
+    cites = e.groupBy(F.col("dst").alias("cvid")).agg(
+        F.count(F.lit(1)).alias("cites")
+    )
+    percited = (
+        vertices.select("repo", "vid")
+        .join(cites, F.col("vid") == F.col("cvid"), "left")
+        .select(
+            "repo", "vid", F.coalesce("cites", F.lit(0)).alias("cites")
+        )
+    )
+    w = Window.partitionBy("repo").orderBy(
+        F.desc("cites"), F.asc("vid")
+    )
+    return (
+        percited.withColumn("rn", F.row_number().over(w))
+        .groupBy("repo")
+        .agg(
+            F.max(
+                F.when(F.col("cites") >= F.col("rn"), F.col("rn")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("h_index")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "corpus_self_citation",
+    oracle=f"""
+    WITH {_CORPUS_CTE},
+    ced AS (SELECT DISTINCT src, dst FROM cedges)
+    SELECT s.repo AS repo,
+           count(*) AS out_edges,
+           sum(CASE WHEN s.repo = t.repo THEN 1 ELSE 0 END) AS internal,
+           (1000000 * sum(CASE WHEN s.repo = t.repo THEN 1 ELSE 0 END))
+             // count(*) AS ratio_micro
+    FROM ced e JOIN verts s ON e.src = s.vid
+               JOIN verts t ON e.dst = t.vid
+    GROUP BY 1
+    """,
+)
+def corpus_self_citation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-repo self-citation rate: share of a repo's outgoing
+    citation links that stay inside the repo — the group-level
+    self-citation analysis the reference's affiliation extraction
+    feeds (extract_affiliations_from_papers.py). Exact integer counts
+    + micro-quantized ratio; two vertex joins (broadcast-size dim) and
+    one group shuffle."""
+    vertices, _ = corpus_tables(spark)
+    vdim = vertices.select("vid", "repo")
+    e = _dedges(spark)
+    return (
+        e.join(
+            F.broadcast(
+                vdim.select(
+                    F.col("vid").alias("src"), F.col("repo").alias("srepo")
+                )
+            ),
+            "src",
+        )
+        .join(
+            F.broadcast(
+                vdim.select(
+                    F.col("vid").alias("dst"), F.col("repo").alias("trepo")
+                )
+            ),
+            "dst",
+        )
+        .groupBy(F.col("srepo").alias("repo"))
+        .agg(
+            F.count(F.lit(1)).alias("out_edges"),
+            F.sum(
+                F.when(F.col("srepo") == F.col("trepo"), 1).otherwise(0)
+            ).alias("internal"),
+        )
+        .withColumn(
+            "ratio_micro", F.expr("(1000000 * internal) div out_edges")
+        )
+    )
