@@ -51,6 +51,10 @@ HEADLINE = [
     # context_packing the shard-window packing shuffle
     "pii_redaction",
     "context_packing",
+    # r4 bibliometrics: the wedge self-join (co-citation) and the
+    # fixed-round attenuated-walk kernel (Katz) get their own numbers
+    "corpus_cocitation",
+    "corpus_katz",
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

@@ -43,6 +43,32 @@ from citation_graph_spark.session import (
 )
 
 
+def round_lineage(
+    e: DataFrame, state: DataFrame, alpha: float, beta: float
+) -> DataFrame:
+    """One synchronous Katz round as a pure lineage (audited in
+    PLANS.md / tests/test_plan_regressions.py): join the pinned edge
+    layout against the state, one groupBy shuffle, left-join back onto
+    the state's vertex universe."""
+    msgs = e.join(state, e["src"] == state["vid"]).select(
+        F.col("dst"), F.col("x").alias("xin")
+    )
+    sums = msgs.groupBy("dst").agg(F.sum("xin").alias("xsum"))
+    # join onto the checkpointed state (identical vertex universe) so
+    # the derived-vertices shuffle never reruns
+    return (
+        state.select("vid")
+        .join(sums, F.col("vid") == sums["dst"], "left")
+        .select(
+            "vid",
+            (
+                F.lit(float(beta))
+                + F.lit(float(alpha)) * F.coalesce("xsum", F.lit(0.0))
+            ).alias("x"),
+        )
+    )
+
+
 def katz_centrality(
     edges: DataFrame,
     vertices: DataFrame | None = None,
@@ -101,23 +127,8 @@ def _katz(
     with shuffle_partitions_conf(spark, num_partitions):
         for it in range(1, max_iter + 1):
             t0 = time.monotonic()
-            msgs = e.join(state, e["src"] == state["vid"]).select(
-                F.col("dst"), F.col("x").alias("xin")
-            )
-            sums = msgs.groupBy("dst").agg(F.sum("xin").alias("xsum"))
-            # join onto the checkpointed state (identical vertex
-            # universe) so the derived-vertices shuffle never reruns
             state = (
-                state.select("vid")
-                .join(sums, F.col("vid") == sums["dst"], "left")
-                .select(
-                    "vid",
-                    (
-                        F.lit(float(beta))
-                        + F.lit(float(alpha))
-                        * F.coalesce("xsum", F.lit(0.0))
-                    ).alias("x"),
-                )
+                round_lineage(e, state, alpha, beta)
                 .repartition(num_partitions, "vid")
                 .localCheckpoint(eager=True)
             )

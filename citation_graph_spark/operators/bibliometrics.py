@@ -51,9 +51,16 @@ _KATZ_ITERS = 8
 def _dedges(spark: SparkSession) -> DataFrame:
     """Distinct directed citation links (multiplicity dropped: one
     citation relationship per (citing, cited) pair, exactly the
-    reference's COUNT(citing) Cypher semantics)."""
+    reference's COUNT(citing) Cypher semantics).
+
+    Materialized via localCheckpoint before the wedge self-joins:
+    without it every branch of a self-join replays the whole
+    extraction lineage — at warehouse scale the edge table is
+    materialized exactly once (it IS the stored table; see
+    snapshots.py), and the plan-regression suite pins the wedge
+    queries to the post-materialization shape."""
     _, edges = corpus_tables(spark)
-    return edges.select("src", "dst").distinct()
+    return edges.select("src", "dst").distinct().localCheckpoint()
 
 
 # --------------------------------------------------------------------------
@@ -149,7 +156,7 @@ def corpus_link_predict_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     Predicts the links the crawl hasn't seen yet — the reference's
     serendipitous-related-paper use case served from graph structure
     alone."""
-    sym = undirect(_dedges(spark))
+    sym = undirect(_dedges(spark)).localCheckpoint()
     deg = sym.groupBy(F.col("src").alias("v")).agg(
         F.count(F.lit(1)).alias("degree")
     )
@@ -201,7 +208,7 @@ def corpus_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (an edge whose endpoints share most neighbors is intra-community;
     one sharing none is a bridge). Same wedge join as co-citation plus
     two broadcast-size degree joins."""
-    sym = undirect(_dedges(spark))
+    sym = undirect(_dedges(spark)).localCheckpoint()
     deg = sym.groupBy(F.col("src").alias("v")).agg(
         F.count(F.lit(1)).alias("degree")
     )

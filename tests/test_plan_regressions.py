@@ -288,3 +288,46 @@ def test_benchmark_contamination_probe_join_is_broadcast(spark):
         )
     assert s["cartesian"] == 0
     assert s["broadcast_joins"] >= 1, "eval probe join no longer broadcast"
+
+
+def test_bibliometric_wedge_joins_post_materialization(stats):
+    # co-citation / coupling self-join the localCheckpointed edge
+    # table: the wedge key is the only join key (equi, never
+    # cartesian) and the extraction lineage must NOT be replayed per
+    # branch (that would blow the exchange count right back up)
+    for name, ceil in (
+        ("corpus_cocitation", 8),
+        ("corpus_bib_coupling", 8),
+        ("corpus_link_predict_ra", 10),
+        ("corpus_neighbor_jaccard", 16),
+    ):
+        s = stats(name)
+        assert s["cartesian"] == 0, name
+        assert s["exchanges"] <= ceil, (name, s["exchanges"])
+
+
+def test_bibliometric_aggregates_bounded(stats):
+    s = stats("corpus_h_index")
+    assert s["cartesian"] == 0 and s["exchanges"] <= 8
+    s = stats("corpus_self_citation")
+    # the vertex dim joins must broadcast (vertex table is the small
+    # side of a fact-dim join here); one group shuffle
+    assert s["cartesian"] == 0 and s["exchanges"] <= 4
+    assert s["broadcast_joins"] >= 2
+
+
+def test_katz_round_shape(spark):
+    # one Katz round against a pinned edge layout: equi-joins + one
+    # groupBy shuffle, never cartesian
+    from citation_graph_spark.graph.katz import round_lineage
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    ).repartition(4, "src")
+    st = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0), (3, 1.0)], "vid long, x double"
+    ).repartition(4, "vid")
+    with static_plans(spark):
+        s = plan_stats(round_lineage(e, st, alpha=0.001, beta=1.0))
+    assert s["cartesian"] == 0
+    assert s["exchanges"] <= 8

@@ -47,6 +47,10 @@ AUDIT = [
     ("corpus_mixture", "mixture/epoch weighting: when-chain weights + sequence explode, zero exchanges"),
     ("context_packing", "sequence packing: shard-window cumsum, ONE exchange on the shard key"),
     ("bpe_pair_counts", "BPE pair stats: pair explode + map-side-combined groupBy + TakeOrdered top-k"),
+    ("corpus_cocitation", "bibliometric wedge self-join keyed on the citing doc: equi-join + count, no cartesian"),
+    ("corpus_link_predict_ra", "wedge join + degree join + anti-join vs adjacency: all equi-joins on well-spread keys"),
+    ("corpus_h_index", "in-citation count + per-repo window + max: two exchanges"),
+    ("katz_round", "one Katz round: state join on pinned edge layout + one groupBy shuffle"),
 ]
 
 
@@ -101,6 +105,16 @@ def _lineage(spark, name: str):
             [(1, 1), (2, 2), (3, 3)], "vid long, comp long"
         )
         return nomination_lineage(e, labels)
+    if name == "katz_round":
+        from citation_graph_spark.graph.katz import round_lineage
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3)], "src long, dst long"
+        ).repartition(4, "src")
+        state = spark.createDataFrame(
+            [(1, 1.0), (2, 1.0), (3, 1.0)], "vid long, x double"
+        ).repartition(4, "vid")
+        return round_lineage(e, state, alpha=0.001, beta=1.0)
     if name == "benchmark_contamination":
         from citation_graph_spark.operators.dedup import (
             _shingles,
