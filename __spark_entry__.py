@@ -57,6 +57,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # end of their registration order until this list is refreshed.
 _GATE_PRIORITY = [
     # never-gated: the round-4 bibliometrics pack
+    "corpus_scc",
     "corpus_cocitation", "corpus_bib_coupling", "corpus_link_predict_ra",
     "corpus_neighbor_jaccard", "corpus_katz", "corpus_h_index",
     "corpus_self_citation",

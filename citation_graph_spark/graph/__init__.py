@@ -13,6 +13,7 @@ from citation_graph_spark.graph.traversal import (
 from citation_graph_spark.graph.kcore import k_core
 from citation_graph_spark.graph.hits import hits
 from citation_graph_spark.graph.katz import katz_centrality
+from citation_graph_spark.graph.scc import strongly_connected_components
 
 __all__ = [
     "assign_dense_ids",
@@ -29,5 +30,6 @@ __all__ = [
     "k_core",
     "hits",
     "katz_centrality",
+    "strongly_connected_components",
     "sssp",
 ]

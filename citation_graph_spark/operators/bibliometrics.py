@@ -40,7 +40,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from citation_graph_spark.graph import katz_centrality, undirect
+from citation_graph_spark.graph import (
+    katz_centrality,
+    strongly_connected_components,
+    undirect,
+)
 from citation_graph_spark.operators import register
 from citation_graph_spark.operators.graphq import _CORPUS_CTE, corpus_tables
 
@@ -402,4 +406,39 @@ def corpus_self_citation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "ratio_micro", F.expr("(1000000 * internal) div out_edges")
         )
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "corpus_scc",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_CTE},
+    ced AS (SELECT DISTINCT src, dst FROM cedges),
+    reach(v, w) AS (
+      SELECT src, dst FROM ced
+      UNION
+      SELECT r.v, e.dst FROM reach r JOIN ced e ON r.w = e.src
+    ),
+    mutual AS (
+      SELECT a.v AS v, a.w AS w
+      FROM reach a JOIN reach b ON a.v = b.w AND a.w = b.v
+    )
+    SELECT vt.vid, greatest(vt.vid, coalesce(max(m.w), vt.vid)) AS scc
+    FROM verts vt LEFT JOIN mutual m ON vt.vid = m.v
+    GROUP BY vt.vid
+    """,
+)
+def corpus_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the citation graph
+    (graph/scc.py forward-backward coloring): scc = max vid in the
+    component. Module-citation graphs are cyclic (mutual includes give
+    the corpus a giant SCC), and the SCC condensation is the
+    prerequisite for any DAG-shaped citation analysis. Oracle: the
+    full transitive closure as a recursive CTE, mutual-reachability
+    join, max partner per vertex — a completely independent derivation
+    of the same partition."""
+    vertices, edges = corpus_tables(spark)
+    return strongly_connected_components(
+        edges.select("src", "dst"), vertices.select("vid")
     )

@@ -122,3 +122,57 @@ def random_graph(n, m, seed):
     mask = src != dst
     pairs = sorted({(int(s), int(d)) for s, d in zip(src[mask], dst[mask])})
     return [(s, d, 1.0) for s, d in pairs]
+
+
+def scc_oracle(n, edge_list):
+    """Iterative Tarjan: scc label = max vid in the component —
+    an algorithm-independent check on graph/scc.py's coloring."""
+    adj = [[] for _ in range(n)]
+    for s, d in edge_list:
+        if s != d:
+            adj[s].append(d)
+    index = [-1] * n
+    low = [0] * n
+    onstk = [False] * n
+    stk: list[int] = []
+    out = [0] * n
+    counter = 0
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stk.append(v)
+                onstk[v] = True
+            descended = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if index[w] == -1:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    descended = True
+                    break
+                if onstk[w]:
+                    low[v] = min(low[v], index[w])
+            if descended:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stk.pop()
+                    onstk[w] = False
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = max(comp)
+                for w in comp:
+                    out[w] = m
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    return out
