@@ -11,6 +11,8 @@ from citation_graph_spark.graph.traversal import (
     sssp,
 )
 from citation_graph_spark.graph.kcore import k_core
+from citation_graph_spark.graph.ktruss import k_truss
+from citation_graph_spark.graph.betweenness import betweenness_sampled
 from citation_graph_spark.graph.hits import hits
 from citation_graph_spark.graph.katz import katz_centrality
 from citation_graph_spark.graph.scc import strongly_connected_components
@@ -28,6 +30,8 @@ __all__ = [
     "bfs_per_source",
     "personalized_pagerank",
     "k_core",
+    "k_truss",
+    "betweenness_sampled",
     "hits",
     "katz_centrality",
     "strongly_connected_components",

@@ -41,9 +41,11 @@ from citation_graph_spark.fixtures.corpus import (
 from citation_graph_spark.graph import (
     bfs_distances,
     bfs_per_source,
+    betweenness_sampled,
     connected_components,
     hits,
     k_core,
+    k_truss,
     label_propagation,
     pagerank,
     personalized_pagerank,
@@ -377,6 +379,167 @@ def graph_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree."""
     edges = part_graph_edges(spark, sf_dir)
     return k_core(edges, k=_KCORE_K, max_iter=_KCORE_ITERS)
+
+
+# --------------------------------------------------------------------------
+_KTRUSS_K = 4
+_KTRUSS_ITERS = 8
+
+
+def _ktruss_oracle(k: int, rounds: int) -> str:
+    """Unrolled synchronous-peel SQL: plain (non-recursive) CTE chain,
+    one support computation + threshold filter per round — a peel
+    round needs THREE references to the previous edge set (edge +
+    both wedge arms), which a single-self-reference recursive CTE
+    cannot express, so the rounds are unrolled instead. The engine
+    breaks early at the fixpoint; post-fixpoint rounds are no-ops, so
+    the capped states agree (same contract as graph_part_kcore). Both
+    engines finish with one support recompute over the final edge
+    set, so the reported support is the fixpoint/capped-state support
+    either way. Every round CTE is MATERIALIZED: each is referenced
+    three times by the next round, and DuckDB's default inlining
+    would expand the chain 3^rounds-fold."""
+    parts = [
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,\n"
+        "               greatest(src, dst) AS b\n"
+        "       FROM edges WHERE src <> dst)"
+    ]
+    for i in range(1, rounds + 1):
+        j = i - 1
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT a AS u, b AS v FROM e{j}\n"
+            f"         UNION ALL SELECT b, a FROM e{j})"
+        )
+        parts.append(
+            f"sup{i} AS MATERIALIZED (SELECT e.a, e.b, count(*) AS sup\n"
+            f"  FROM e{j} e\n"
+            f"    JOIN s{i} x ON x.u = e.a\n"
+            f"    JOIN s{i} y ON y.u = e.b AND y.v = x.v\n"
+            f"  GROUP BY e.a, e.b)"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT a, b FROM sup{i} WHERE sup >= {k - 2})"
+        )
+    fin = rounds + 1
+    parts.append(
+        f"s{fin} AS MATERIALIZED (SELECT a AS u, b AS v FROM e{rounds}\n"
+        f"           UNION ALL SELECT b, a FROM e{rounds})"
+    )
+    parts.append(
+        f"sup{fin} AS MATERIALIZED (SELECT e.a, e.b, count(*) AS sup\n"
+        f"  FROM e{rounds} e\n"
+        f"    JOIN s{fin} x ON x.u = e.a\n"
+        f"    JOIN s{fin} y ON y.u = e.b AND y.v = x.v\n"
+        f"  GROUP BY e.a, e.b)"
+    )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {_GRAPH_CTE.strip().rstrip()},
+    {body}
+    SELECT e.a, e.b, coalesce(s.sup, 0) AS support
+    FROM e{rounds} e LEFT JOIN sup{fin} s USING (a, b)
+    """
+
+
+@register("graph_part_ktruss", oracle=_ktruss_oracle(_KTRUSS_K, _KTRUSS_ITERS))
+def graph_part_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the part graph via synchronous edge peeling, capped
+    at 8 rounds on both engines (graph/ktruss.py). Returns the
+    surviving canonical edges with their fixpoint triangle support —
+    integer end to end, so cross-engine equality is exact."""
+    edges = part_graph_edges(spark, sf_dir)
+    return k_truss(edges, k=_KTRUSS_K, max_iter=_KTRUSS_ITERS)
+
+
+# --------------------------------------------------------------------------
+_BC_SOURCES = 8
+_BC_ITERS = 10
+
+_BETWEENNESS_ORACLE = f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    srcs AS (SELECT vid FROM verts ORDER BY vid LIMIT {_BC_SOURCES}),
+    symx AS (
+      SELECT src, dst, false AS is_self FROM sym
+      UNION ALL
+      SELECT vid, vid, true FROM verts
+    ),
+    -- forward: full-state BFS with exact int64 path counts; every
+    -- (pivot, vertex) pair carries (dist, sigma) through self-messages
+    -- (the kcore-oracle pattern: one recursive reference suffices)
+    fwd(it, s, v, dist, sigma) AS (
+      SELECT 0, s.vid, v.vid,
+             CASE WHEN s.vid = v.vid THEN 0 END,
+             CAST(CASE WHEN s.vid = v.vid THEN 1 ELSE 0 END AS BIGINT)
+      FROM srcs s CROSS JOIN verts v
+      UNION ALL
+      SELECT a.it + 1, a.s, m.dst,
+        CASE WHEN max(CASE WHEN m.is_self THEN a.dist END) IS NOT NULL
+             THEN max(CASE WHEN m.is_self THEN a.dist END)
+             WHEN sum(CASE WHEN NOT m.is_self AND a.dist = a.it
+                           THEN 1 ELSE 0 END) > 0
+             THEN a.it + 1 END,
+        CAST(CASE WHEN max(CASE WHEN m.is_self THEN a.dist END) IS NOT NULL
+             THEN max(CASE WHEN m.is_self THEN a.sigma END)
+             ELSE coalesce(sum(CASE WHEN NOT m.is_self AND a.dist = a.it
+                                    THEN a.sigma ELSE 0 END), 0)
+             END AS BIGINT)
+      FROM fwd a JOIN symx m ON a.v = m.src
+      WHERE a.it < {_BC_ITERS}
+      GROUP BY a.it + 1, a.s, m.dst
+    ),
+    f AS (SELECT s, v, dist, sigma FROM fwd
+          WHERE it = {_BC_ITERS} AND dist IS NOT NULL),
+    lmax AS (SELECT max(dist) AS d FROM f),
+    -- backward: iteration jt finalizes global level lmax - jt; all
+    -- other rows persist via self-messages. dist/sigma are static
+    -- (joined from f), only delta evolves — so one recursive
+    -- reference again suffices.
+    back(jt, s, v, delta) AS (
+      SELECT 0, s, v, CAST(0 AS DOUBLE) FROM f
+      UNION ALL
+      SELECT b.jt + 1, fv.s, fv.v,
+        CAST(CASE WHEN fv.dist = l.d - (b.jt + 1)
+             THEN fv.sigma * coalesce(
+                    sum(CASE WHEN NOT m.is_self AND fw.dist = fv.dist + 1
+                             THEN (1.0 + b.delta) / fw.sigma END), 0)
+             ELSE max(CASE WHEN m.is_self THEN b.delta END)
+             END AS DOUBLE)
+      FROM back b
+        JOIN symx m ON m.src = b.v
+        JOIN f fw ON fw.s = b.s AND fw.v = b.v
+        JOIN f fv ON fv.s = b.s AND fv.v = m.dst
+        CROSS JOIN lmax l
+      WHERE b.jt < l.d
+      GROUP BY b.jt + 1, fv.s, fv.v, fv.dist, fv.sigma, l.d
+    ),
+    dep AS (
+      SELECT v, sum(delta) AS bc FROM back
+      WHERE jt = (SELECT max(jt) FROM back) AND v <> s
+      GROUP BY v
+    )
+    SELECT vt.vid,
+           CAST(floor(coalesce(d.bc, 0) * 1000000 + 0.5) AS BIGINT)
+           AS bc_micro
+    FROM verts vt LEFT JOIN dep d ON d.v = vt.vid
+    """
+
+
+@register("graph_part_betweenness", oracle=_BETWEENNESS_ORACLE)
+def graph_part_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled Brandes betweenness from the 8 smallest-vid pivots,
+    BFS capped at 10 levels on both engines (graph/betweenness.py).
+    Path counts are exact int64 on both sides; the dependency sum is
+    floored to micro-integers (identical per-term formula
+    sigma_v · Σ (1+delta_w)/sigma_w on both sides, so the float noise
+    is summation order only — ~1e-12 against a 0.5e-6 slack)."""
+    edges = part_graph_edges(spark, sf_dir)
+    verts = (
+        undirect(edges)
+        .select(F.col("src").alias("vid"))
+        .distinct()
+    )
+    pivots = verts.orderBy("vid").limit(_BC_SOURCES)
+    return betweenness_sampled(edges, pivots, max_iter=_BC_ITERS)
 
 
 # --------------------------------------------------------------------------

@@ -331,3 +331,71 @@ def test_katz_round_shape(spark):
         s = plan_stats(round_lineage(e, st, alpha=0.001, beta=1.0))
     assert s["cartesian"] == 0
     assert s["exchanges"] <= 8
+
+
+def test_ktruss_support_round_shape(spark):
+    # one k-truss peel round AFTER the orientation is materialized
+    # (the kernel checkpoints it — it is read four times): wedge +
+    # closure equi-joins + the per-edge support groupBy — never
+    # cartesian, bounded exchanges
+    from citation_graph_spark.graph.ktruss import _support_from_oriented
+
+    o = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "u long, v long"
+    ).repartition(4, "u")
+    with static_plans(spark):
+        s = plan_stats(_support_from_oriented(o))
+    assert s["cartesian"] == 0
+    # 5 physical exchanges (orient repartition, wedge, closure union,
+    # second wedge arm, support agg) + ReusedExchange markers — the
+    # orientation shuffle is REUSED by all four readers, not recomputed
+    assert s["exchanges"] <= 10
+    assert "ReusedExchange" in s["formatted"]
+
+
+def test_betweenness_round_shapes(spark):
+    # forward: frontier⨝edges equi-join, settled anti-join, sigma
+    # groupBy; backward: level⨝edges equi-join, ratio groupBy, left
+    # join back to receivers — never cartesian either way
+    from citation_graph_spark.graph.betweenness import (
+        backward_round_lineage,
+        forward_round_lineage,
+    )
+
+    # inputs are localCheckpointed in the kernel loop — mirror that so
+    # the pinned shape is the real per-round plan, not test lineage
+    e = (
+        spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        .repartition(4, "src")
+        .localCheckpoint(eager=True)
+    )
+    reach = (
+        spark.createDataFrame(
+            [(1, 1, 0, 1)], "s long, vid long, dist int, sigma long"
+        )
+        .repartition(4, "s", "vid")
+        .localCheckpoint(eager=True)
+    )
+    with static_plans(spark):
+        sf = plan_stats(forward_round_lineage(e, reach, reach, 1))
+    assert sf["cartesian"] == 0
+    # 4 physical exchanges: edges on src, frontier on vid, anti-join
+    # on (s, vid) — and the sigma agg REUSES the anti-join
+    # partitioning (no exchange between partial and final agg)
+    assert sf["exchanges"] <= 8
+
+    done = (
+        spark.createDataFrame(
+            [(1, 2, 1, 1, 0.0)],
+            "s long, vid long, dist int, sigma long, delta double",
+        )
+        .repartition(4, "s", "vid")
+        .localCheckpoint(eager=True)
+    )
+    cur = reach
+    with static_plans(spark):
+        sb = plan_stats(backward_round_lineage(e, done, cur, 0))
+    assert sb["cartesian"] == 0
+    # same budget as the forward round: level⨝edges, ratio groupBy,
+    # left join back to the level's receivers — all equi-keyed
+    assert sb["exchanges"] <= 8
