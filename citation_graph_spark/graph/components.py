@@ -42,11 +42,12 @@ from citation_graph_spark.session import (
 # literature (Lattanzi et al., SPAA'11: shrink distributedly, finish
 # locally once the live graph fits one machine): the tail rounds of any
 # contraction algorithm are driver-bottlenecked anyway — each is a
-# full job-scheduling round trip over kilobytes of data.  50k rows is
-# ~1 MB via Arrow, trivially safe for the driver at any cluster size,
-# and both kernels (min-label, star) route through the same helper so
-# the labels stay bit-identical to the distributed fixpoint.
-_LOCAL_FINISH_UND_ROWS = 50_000
+# full job-scheduling round trip over kilobytes of data.  500k rows is
+# ~8 MB via Arrow, trivially safe for the driver at any cluster size
+# (the vectorized union-find itself is milliseconds at this size), and
+# both kernels (min-label, star) route through the same helper so the
+# labels stay bit-identical to the distributed fixpoint.
+_LOCAL_FINISH_UND_ROWS = 500_000
 
 
 def _local_components(und: DataFrame, vertices: DataFrame) -> DataFrame:

@@ -87,6 +87,16 @@ def normalize_edges(edges: DataFrame) -> DataFrame:
 # literature (Lattanzi et al., SPAA'11) finishes locally exactly here.
 _LOCAL_FINISH_COMPS = 1024
 
+# If the WHOLE normalized edge set already fits comfortably on the
+# driver, skip the distributed loop entirely: one collected quotient +
+# driver Kruskal is the same filtering endgame applied at round zero.
+# 500k (src, dst, w) rows ≈ 12 MB via Arrow — trivially safe at any
+# cluster size, and the alternative is O(log n) job round trips whose
+# latency dwarfs the compute at this size.  Identical forest (same
+# strict (w, src, dst) total order ⇒ unique MSF), pinned by
+# tests/test_msf.py's Kruskal equality.
+_LOCAL_FINISH_EDGE_ROWS = 500_000
+
 
 def _local_kruskal_tail(e: DataFrame, labels: DataFrame) -> DataFrame:
     """Remaining-forest edges (src, dst, w) for a contracted graph with
@@ -278,8 +288,17 @@ def _boruvka_msf(
         eager=True
     )
 
+    n_edges = e.count()
+    if local_finish_comps > 0 and n_edges <= _LOCAL_FINISH_EDGE_ROWS:
+        # round-zero filtering endgame: the whole graph fits the
+        # driver, so the identity-labels quotient IS the normalized
+        # edge set — one collect, one Kruskal, zero loop rounds
+        # (local_finish_comps=0 still forces the distributed loop for
+        # the equality tests)
+        return _local_kruskal_tail(e, labels)
+
     forest_parts: list[DataFrame] = []
-    with shuffle_partitions_conf(spark, auto_partitions(spark, e.count())):
+    with shuffle_partitions_conf(spark, auto_partitions(spark, n_edges)):
         for _ in range(max_rounds):
             sel = nomination_lineage(e, labels).localCheckpoint(eager=True)
             n_live = sel.count()
