@@ -56,7 +56,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # at round-4 start; VERDICT r3 item 4). Queries added later fall to the
 # end of their registration order until this list is refreshed.
 _GATE_PRIORITY = [
-    # never-gated: the round-4 bibliometrics pack
+    # never-gated: the round-4 kernels added after the r4c local
+    # artifact (bibliometrics pack + k-truss + betweenness)
+    "graph_part_ktruss", "graph_part_betweenness",
     "corpus_scc",
     "corpus_cocitation", "corpus_bib_coupling", "corpus_link_predict_ra",
     "corpus_neighbor_jaccard", "corpus_katz", "corpus_h_index",

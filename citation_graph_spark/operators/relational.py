@@ -755,12 +755,17 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+    # global top-k as orderBy+limit (TakeOrderedAndProject: per-partition
+    # partial top-k, no all-rows-to-one-partition window shuffle); the
+    # total (revenue, c_custkey) order keeps it deterministic, and the
+    # rank window then runs over only the k survivors
     w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
     return (
         rev.join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
         .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
     )
 
 

@@ -51,6 +51,9 @@ AUDIT = [
     ("corpus_link_predict_ra", "wedge join + degree join + anti-join vs adjacency: all equi-joins on well-spread keys"),
     ("corpus_h_index", "in-citation count + per-repo window + max: two exchanges"),
     ("katz_round", "one Katz round: state join on pinned edge layout + one groupBy shuffle"),
+    ("ktruss_support_round", "one k-truss peel round post-orientation: wedge/closure equi-joins + support groupBy, orientation shuffle REUSED"),
+    ("betweenness_forward_round", "Brandes forward round: frontier⨝edges + settled anti-join + sigma groupBy"),
+    ("betweenness_backward_round", "Brandes backward round: finalized level⨝edges + ratio groupBy + left join to receivers"),
 ]
 
 
@@ -115,6 +118,37 @@ def _lineage(spark, name: str):
             [(1, 1.0), (2, 1.0), (3, 1.0)], "vid long, x double"
         ).repartition(4, "vid")
         return round_lineage(e, state, alpha=0.001, beta=1.0)
+    if name == "ktruss_support_round":
+        from citation_graph_spark.graph.ktruss import _support_from_oriented
+
+        o = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (3, 4)], "u long, v long"
+        ).repartition(4, "u")
+        return _support_from_oriented(o)
+    if name == "betweenness_forward_round":
+        from citation_graph_spark.graph.betweenness import forward_round_lineage
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3)], "src long, dst long"
+        ).repartition(4, "src").localCheckpoint(eager=True)
+        reach = spark.createDataFrame(
+            [(1, 1, 0, 1)], "s long, vid long, dist int, sigma long"
+        ).repartition(4, "s", "vid").localCheckpoint(eager=True)
+        return forward_round_lineage(e, reach, reach, 1)
+    if name == "betweenness_backward_round":
+        from citation_graph_spark.graph.betweenness import backward_round_lineage
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3)], "src long, dst long"
+        ).repartition(4, "src").localCheckpoint(eager=True)
+        cur = spark.createDataFrame(
+            [(1, 1, 0, 1)], "s long, vid long, dist int, sigma long"
+        ).repartition(4, "s", "vid").localCheckpoint(eager=True)
+        done = spark.createDataFrame(
+            [(1, 2, 1, 1, 0.0)],
+            "s long, vid long, dist int, sigma long, delta double",
+        ).repartition(4, "s", "vid").localCheckpoint(eager=True)
+        return backward_round_lineage(e, done, cur, 0)
     if name == "benchmark_contamination":
         from citation_graph_spark.operators.dedup import (
             _shingles,
