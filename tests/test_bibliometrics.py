@@ -241,3 +241,62 @@ def test_h_index_definition(spark):
         .to_dict()
     )
     assert h == {"A": 3, "B": 1, "C": 0}
+
+
+# --------------------------------------------------------------------------
+def test_incremental_cocitation_equals_batch(spark):
+    """View maintenance invariant: for ANY split of the edge set by
+    citing doc, carrying the old view + the touched-docs delta equals
+    the batch wedge join exactly — including pairs whose count
+    crosses the serving threshold in either direction."""
+    import random
+
+    from citation_graph_spark.operators.bibliometrics import (
+        cocitation_counts,
+        incremental_cocitation,
+    )
+
+    rng = random.Random(13)
+    edges = list(
+        {
+            (rng.randrange(40), rng.randrange(200))
+            for _ in range(600)
+        }
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for mod in (2, 3, 7):
+        old_e = df.filter(F.pmod(F.col("src"), F.lit(mod)) != 0)
+        new_e = df.filter(F.pmod(F.col("src"), F.lit(mod)) == 0)
+        got = {
+            (r.a, r.b): r.cocite_count
+            for r in incremental_cocitation(
+                cocitation_counts(old_e), old_e, new_e
+            ).collect()
+        }
+        want = {
+            (r.a, r.b): r.cocite_count
+            for r in cocitation_counts(df).collect()
+        }
+        assert got == want, f"mod={mod}"
+
+
+def test_incremental_cocitation_existing_doc_gains_edges(spark):
+    """A touched doc that ALREADY had edges must have its old
+    contribution subtracted, not double-counted: doc 0 cites {1,2}
+    then gains {3} — pair (1,2) stays at 1, (1,3)/(2,3) appear."""
+    from citation_graph_spark.operators.bibliometrics import (
+        cocitation_counts,
+        incremental_cocitation,
+    )
+
+    old_e = spark.createDataFrame(
+        [(0, 1), (0, 2), (9, 1), (9, 2)], "src long, dst long"
+    )
+    new_e = spark.createDataFrame([(0, 3)], "src long, dst long")
+    got = {
+        (r.a, r.b): r.cocite_count
+        for r in incremental_cocitation(
+            cocitation_counts(old_e), old_e, new_e
+        ).collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
