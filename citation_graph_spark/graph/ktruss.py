@@ -62,11 +62,14 @@ def _support_from_oriented(o: DataFrame) -> DataFrame:
     """
     e1 = o.select(F.col("u").alias("w0"), F.col("v").alias("w1"))
     e2 = o.select(F.col("u").alias("w0"), F.col("v").alias("w2"))
-    wedges = e1.join(e2, "w0").filter(F.col("w1") < F.col("w2"))
+    # merge hints — same rationale as triangles.py: wedge/closure join
+    # volume grows super-linearly with hub degree; sort-merge spills
+    # where a shuffled-hash build OOMs at link-graph scale
+    wedges = e1.hint("merge").join(e2, "w0").filter(F.col("w1") < F.col("w2"))
     closer = o.select(
         F.col("u").alias("w1"), F.col("v").alias("w2")
     ).unionByName(o.select(F.col("u").alias("w2"), F.col("v").alias("w1")))
-    tri = wedges.join(closer, ["w1", "w2"])
+    tri = wedges.hint("merge").join(closer, ["w1", "w2"])
     sides = (
         tri.select(
             F.least("w0", "w1").alias("a"), F.greatest("w0", "w1").alias("b")

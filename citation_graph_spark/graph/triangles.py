@@ -45,7 +45,9 @@ def oriented_edges(edges: DataFrame) -> DataFrame:
     )
     da = deg.select(F.col("vid").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("vid").alias("b"), F.col("deg").alias("deg_b"))
-    with_deg = canon.join(da, "a").join(db, "b")
+    # merge hints: the degree side is vertex-sized — too big to build
+    # a per-partition hash map over at link-graph scale
+    with_deg = canon.hint("merge").join(da, "a").hint("merge").join(db, "b")
     lower_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
@@ -65,11 +67,16 @@ def triangle_counts(
 
     e1 = o.select(F.col("u").alias("w0"), F.col("v").alias("w1"))
     e2 = o.select(F.col("u").alias("w0"), F.col("v").alias("w2"))
-    wedges = e1.join(e2, "w0").filter(F.col("w1") < F.col("w2"))
+    # merge hints: the session prefers shuffled-hash joins (right for
+    # the small per-round kernel joins), but the wedge and closure
+    # joins grow super-linearly in hub degree — a hash build side here
+    # OOMs at link-graph scale where sort-merge just spills. The hint
+    # rides the logical plan, so it holds whenever the action compiles.
+    wedges = e1.hint("merge").join(e2, "w0").filter(F.col("w1") < F.col("w2"))
     closer = o.select(F.col("u").alias("w1"), F.col("v").alias("w2")).unionByName(
         o.select(F.col("u").alias("w2"), F.col("v").alias("w1"))
     )
-    triangles = wedges.join(closer, ["w1", "w2"])
+    triangles = wedges.hint("merge").join(closer, ["w1", "w2"])
 
     corners = (
         triangles.select(F.col("w0").alias("vid"))
