@@ -59,6 +59,7 @@ _GATE_PRIORITY = [
     # never-gated: the round-4 kernels added after the r4c local
     # artifact (bibliometrics pack + k-truss + betweenness)
     "graph_part_ktruss", "graph_part_betweenness",
+    "corpus_cocitation_incremental",
     "corpus_scc",
     "corpus_cocitation", "corpus_bib_coupling", "corpus_link_predict_ra",
     "corpus_neighbor_jaccard", "corpus_katz", "corpus_h_index",
