@@ -16,6 +16,9 @@ from citation_graph_spark.graph.betweenness import betweenness_sampled
 from citation_graph_spark.graph.hits import hits
 from citation_graph_spark.graph.katz import katz_centrality
 from citation_graph_spark.graph.scc import strongly_connected_components
+from citation_graph_spark.graph.anf import exact_balls, hyperball
+from citation_graph_spark.graph.louvain import louvain_local_moves
+from citation_graph_spark.graph.walks import deterministic_walks
 
 __all__ = [
     "assign_dense_ids",
@@ -36,4 +39,8 @@ __all__ = [
     "katz_centrality",
     "strongly_connected_components",
     "sssp",
+    "exact_balls",
+    "hyperball",
+    "louvain_local_moves",
+    "deterministic_walks",
 ]

@@ -1,0 +1,156 @@
+"""Louvain-style modularity local moves, synchronous and exact-integer.
+
+The engine already serves label-propagation communities and
+per-community Newman-Girvan modularity (reference parity:
+neo4j community perspectives; operators/graphq.py
+``graph_part_modularity``). This kernel adds the *modularity-ascending*
+community step those two compose into: each round, every vertex
+simultaneously considers moving to a neighboring community and takes
+the move with the best modularity gain — the local-move half of the
+Louvain method (Blondel et al. 2008, public), in the synchronous
+variant used by distributed implementations (Spark/GraphX community
+ports), since sequential vertex visiting does not distribute.
+
+Cross-engine determinism: for an unweighted graph the gain comparison
+is done in EXACT INTEGERS. Moving v (degree d_v) from community o to
+candidate c changes Q by
+
+    dQ = (k_vc - k_vo)/m  -  d_v * (vol_c - (vol_o - d_v)) / (2 m^2)
+
+where k_vX = # edges from v into X and vol_X = total degree of X.
+Scaling by the positive constant 2 m^2 gives the integer score
+
+    S(v, c) = 2 m (k_vc - k_vo) - d_v (vol_c - vol_o + d_v)
+
+with S(v, o) = 0 for staying; the vertex takes argmax by (S desc,
+community id asc) — no float ever enters the decision, so a SQL oracle
+replays the rounds bit-exactly.
+
+Scale posture: one round = two grouped aggregations (community
+volumes; per-(vertex, neighbor-community) edge counts) and one
+per-vertex window argmax — shuffle keys are community id and vertex
+id, per-round bytes O(E). Hub-degree skew lands in the k_vc groupBy,
+which is keyed (vid, community) — already salted by the community
+dimension. Per-round localCheckpoint truncates lineage like every
+iterative kernel here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from citation_graph_spark.graph.degrees import auto_partitions, undirect
+from citation_graph_spark.session import (
+    iterative_kernel_conf,
+    shuffle_partitions_conf,
+)
+
+
+def louvain_local_moves(
+    edges: DataFrame,
+    rounds: int = 2,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``(vid, community)`` after ``rounds`` synchronous local-move
+    rounds from the singleton partition, over the undirected simple
+    graph of ``edges`` (any direction/duplication is normalized away).
+    """
+    with iterative_kernel_conf(edges.sparkSession):
+        spark = edges.sparkSession
+        e = (
+            edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .distinct()
+            .persist()
+        )
+        m = e.count()
+        if num_partitions is None:
+            num_partitions = auto_partitions(spark, m)
+        sym = undirect(e).persist()
+        deg = (
+            sym.groupBy(F.col("src").alias("vid"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .repartition(num_partitions, "vid")
+            .persist()
+        )
+        deg.count()
+
+        comm = deg.select("vid", F.col("vid").alias("community"))
+        with shuffle_partitions_conf(spark, num_partitions):
+            for _ in range(rounds):
+                vol = (
+                    comm.join(deg, "vid")
+                    .groupBy("community")
+                    .agg(F.sum("d").alias("vol"))
+                )
+                # k(v, c): edges from v into community c
+                k = (
+                    sym.join(
+                        comm.select(
+                            F.col("vid").alias("dst"),
+                            F.col("community").alias("c"),
+                        ),
+                        "dst",
+                    )
+                    .groupBy(F.col("src").alias("vid"), "c")
+                    .agg(F.count(F.lit(1)).alias("k"))
+                )
+                own = comm.select(
+                    "vid", F.col("community").alias("own_c")
+                )
+                k_own = (
+                    k.join(
+                        own,
+                        (k["vid"] == own["vid"]) & (k["c"] == own["own_c"]),
+                    )
+                    .select(k["vid"], F.col("k").alias("k_own"))
+                )
+                base = (
+                    k.join(own, "vid")
+                    .join(k_own, "vid", "left")
+                    .na.fill({"k_own": 0})
+                    .join(deg, "vid")
+                    .join(vol.withColumnRenamed("community", "c"), "c")
+                    .join(
+                        vol.select(
+                            F.col("community").alias("own_c"),
+                            F.col("vol").alias("own_vol"),
+                        ),
+                        "own_c",
+                    )
+                )
+                moves = base.filter(F.col("c") != F.col("own_c")).select(
+                    "vid",
+                    "c",
+                    (
+                        F.lit(2 * m) * (F.col("k") - F.col("k_own"))
+                        - F.col("d")
+                        * (F.col("vol") - F.col("own_vol") + F.col("d"))
+                    ).alias("score"),
+                )
+                stay = comm.select(
+                    "vid",
+                    F.col("community").alias("c"),
+                    F.lit(0).cast("long").alias("score"),
+                )
+                w = Window.partitionBy("vid").orderBy(
+                    F.col("score").desc(), F.col("c")
+                )
+                comm = (
+                    moves.unionByName(stay)
+                    .withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1)
+                    .select("vid", F.col("c").alias("community"))
+                    .repartition(num_partitions, "vid")
+                    .localCheckpoint(eager=True)
+                )
+        e.unpersist()
+        sym.unpersist()
+        deg.unpersist()
+        return comm

@@ -59,4 +59,5 @@ def load_all() -> None:
         textops,
         tokenization,
         topics,
+        topology,
     )

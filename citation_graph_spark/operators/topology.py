@@ -1,0 +1,347 @@
+"""Graph-topology queries: citation generations (SCC-condensation DAG
+layering), deterministic random walks, degree assortativity, the exact
+neighborhood function, and its HyperBall scale path.
+
+These extend the bibliometrics pack (operators/bibliometrics.py) with
+the structural questions a citation-graph owner asks next — "how deep
+do citation chains run", "how far does influence reach", "do
+well-cited modules cite well-cited modules" — over the SAME extracted
+corpus edge table the north-rule kernels run on, each hash-checked
+against a DuckDB oracle that re-derives the pipeline from the raw
+documents parquet (the corpus_* oracle discipline of
+operators/graphq.py).
+
+Reference parity anchors (public reference repo, cited file:line):
+- generations: the reference's timeview perspective orders papers by
+  citation depth/era (perspectives/timeview_perspective.json); the SCC
+  condensation is the only well-defined depth on a cyclic module graph
+  (corpus_scc's docstring).
+- walks: the Bloom scene "expand from this node" chain
+  (bloom/perspective.json) generalized to batch embedding-corpus prep.
+- neighborhood function / HyperBall: batch generalization of the
+  interactive k-hop fan-out (neo4j/loader.py relationship expansion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from citation_graph_spark.graph import strongly_connected_components, undirect
+from citation_graph_spark.graph.anf import exact_balls, hyperball
+from citation_graph_spark.graph.louvain import louvain_local_moves
+from citation_graph_spark.graph.walks import (
+    WALK_HASH_A,
+    WALK_HASH_B,
+    WALK_HASH_C,
+    WALK_HASH_P,
+    deterministic_walks,
+)
+from citation_graph_spark.operators import register
+from citation_graph_spark.operators.graphq import (
+    _CORPUS_CTE,
+    _GRAPH_CTE,
+    corpus_tables,
+    part_graph_edges,
+)
+
+_WALK_STEPS = 6
+_WALK_SEED_MOD = 37
+_BALL_RADIUS = 3
+_LOUVAIN_ROUNDS = 2
+
+# SCC of the corpus graph as max-vid labels — the same derivation the
+# corpus_scc oracle uses (transitive closure + mutual-reachability)
+_SCC_CTE = """
+    ced AS (SELECT DISTINCT src, dst FROM cedges),
+    reach(v, w) AS (
+      SELECT src, dst FROM ced
+      UNION
+      SELECT r.v, e.dst FROM reach r JOIN ced e ON r.w = e.src
+    ),
+    mutual AS (
+      SELECT a.v AS v, a.w AS w
+      FROM reach a JOIN reach b ON a.v = b.w AND a.w = b.v
+    ),
+    sccm AS (
+      SELECT vt.vid, greatest(vt.vid, coalesce(max(m.w), vt.vid)) AS scc
+      FROM verts vt LEFT JOIN mutual m ON vt.vid = m.v
+      GROUP BY vt.vid
+    )
+"""
+
+
+# --------------------------------------------------------------------------
+@register(
+    "corpus_generations",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_CTE},
+    {_SCC_CTE},
+    q AS (SELECT DISTINCT s1.scc AS csrc, s2.scc AS cdst
+          FROM ced e JOIN sccm s1 ON e.src = s1.vid
+                     JOIN sccm s2 ON e.dst = s2.vid
+          WHERE s1.scc <> s2.scc),
+    comps AS (SELECT DISTINCT scc AS c FROM sccm),
+    g(c, d) AS (
+      SELECT c, 0 FROM comps WHERE c NOT IN (SELECT cdst FROM q)
+      UNION
+      SELECT q.cdst, g.d + 1 FROM g JOIN q ON g.c = q.csrc
+    ),
+    cg AS (SELECT c, max(d) AS generation FROM g GROUP BY c)
+    SELECT s.vid, cg.generation
+    FROM sccm s JOIN cg ON s.scc = cg.c
+    """,
+)
+def corpus_generations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Citation generations: longest-path layering of the SCC
+    condensation DAG — generation 0 is the set of source components
+    (cited-by-construction roots), generation g cites only earlier
+    generations plus at least one at g-1. Engine: SCC kernel
+    (graph/scc.py) → quotient edges → monotone max-relaxation to
+    fixpoint (depth-bounded rounds, per-round localCheckpoint). Oracle:
+    transitive-closure SCC + UNION-dedup recursive longest path —
+    a fully independent derivation."""
+    vertices, edges = corpus_tables(spark)
+    e = edges.select("src", "dst").distinct()
+    scc = strongly_connected_components(e, vertices.select("vid"))
+
+    q = (
+        e.join(
+            scc.select(F.col("vid").alias("src"), F.col("scc").alias("csrc")),
+            "src",
+        )
+        .join(
+            scc.select(F.col("vid").alias("dst"), F.col("scc").alias("cdst")),
+            "dst",
+        )
+        .filter(F.col("csrc") != F.col("cdst"))
+        .select("csrc", "cdst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    gen = (
+        scc.select(F.col("scc").alias("c"))
+        .distinct()
+        .withColumn("generation", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    # longest-path relaxation on the condensation DAG: gen(v) =
+    # max(gen(v), 1 + max over predecessors) until fixpoint; the DAG
+    # guarantees convergence within its depth
+    for _ in range(10_000):
+        msg = (
+            q.join(gen, q["csrc"] == gen["c"])
+            .groupBy(F.col("cdst").alias("c"))
+            .agg((F.max("generation") + 1).alias("up"))
+        )
+        new = (
+            gen.join(msg, "c", "left")
+            .select(
+                "c",
+                F.greatest(
+                    F.col("generation"), F.coalesce(F.col("up"), F.lit(0))
+                ).alias("generation"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(gen.alias("o"), "c")
+            .filter(F.col("n.generation") != F.col("o.generation"))
+            .isEmpty()
+        )
+        gen = new
+        if changed:
+            break
+    return (
+        scc.join(gen, scc["scc"] == gen["c"])
+        .select("vid", "generation")
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "corpus_random_walks",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_CTE},
+    ced AS (SELECT DISTINCT src, dst FROM cedges),
+    wk(wid, step, v) AS (
+      SELECT vid, 0, vid FROM verts WHERE vid % {_WALK_SEED_MOD} = 0
+      UNION ALL
+      SELECT wid, step, v FROM (
+        SELECT w.wid, w.step + 1 AS step, e.dst AS v,
+               row_number() OVER (
+                 PARTITION BY w.wid
+                 ORDER BY (w.v * {WALK_HASH_A}
+                           + (w.step + 1) * {WALK_HASH_B}
+                           + e.dst * {WALK_HASH_C}) % {WALK_HASH_P},
+                          e.dst) AS rn
+        FROM wk w JOIN ced e ON w.v = e.src
+        WHERE w.step < {_WALK_STEPS}
+      ) WHERE rn = 1
+    )
+    SELECT wid, step, v AS vid FROM wk
+    """,
+)
+def corpus_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derandomized random-walk corpus (graph/walks.py) from every
+    37th vertex, 6 steps, vs a recursive-CTE oracle replaying the
+    identical hash-argmin next-step rule."""
+    vertices, edges = corpus_tables(spark)
+    seeds = vertices.select("vid").filter(
+        F.col("vid") % _WALK_SEED_MOD == 0
+    )
+    return deterministic_walks(
+        edges.select("src", "dst"), seeds, steps=_WALK_STEPS
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "corpus_assortativity",
+    oracle=f"""
+    WITH {_CORPUS_CTE},
+    deg AS (SELECT src AS vid, count(*) AS d FROM csym GROUP BY src),
+    je AS (SELECT ds.d AS j, dt.d AS k
+           FROM csym e JOIN deg ds ON e.src = ds.vid
+                       JOIN deg dt ON e.dst = dt.vid),
+    s AS (SELECT count(*) AS m_edges, sum(j * k) AS sjk,
+                 sum(j) AS s1, sum(j * j) AS s2
+          FROM je)
+    SELECT m_edges,
+           cast(floor(
+             ((cast(m_edges AS DOUBLE) * cast(sjk AS DOUBLE)
+                 - cast(s1 AS DOUBLE) * cast(s1 AS DOUBLE))
+              / (cast(m_edges AS DOUBLE) * cast(s2 AS DOUBLE)
+                 - cast(s1 AS DOUBLE) * cast(s1 AS DOUBLE)))
+             * 1000000000 + 0.5) AS BIGINT) AS r_nano
+    FROM s
+    """,
+)
+def corpus_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002 Pearson form) of the
+    undirected citation graph: integer moment sums distributed, one
+    identical double expression on both engines, quantized at 1e-9.
+    Positive r = hubs cite hubs; citation/web graphs are typically
+    disassortative."""
+    _, edges = corpus_tables(spark)
+    sym = undirect(edges.select("src", "dst"))
+    deg = sym.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    je = (
+        sym.join(deg.select(F.col("vid").alias("src"), F.col("d").alias("j")), "src")
+        .join(deg.select(F.col("vid").alias("dst"), F.col("d").alias("k")), "dst")
+        .select("j", "k")
+    )
+    s = je.agg(
+        F.count(F.lit(1)).alias("m_edges"),
+        F.sum(F.col("j") * F.col("k")).alias("sjk"),
+        F.sum("j").alias("s1"),
+        F.sum(F.col("j") * F.col("j")).alias("s2"),
+    )
+    md = F.col("m_edges").cast("double")
+    s1d = F.col("s1").cast("double")
+    num = md * F.col("sjk").cast("double") - s1d * s1d
+    den = md * F.col("s2").cast("double") - s1d * s1d
+    return s.select(
+        "m_edges",
+        F.floor(num / den * 1000000000 + F.lit(0.5))
+        .cast("long")
+        .alias("r_nano"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "corpus_neighborhood_function",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_CTE},
+    ced AS (SELECT DISTINCT src, dst FROM cedges),
+    av AS (SELECT src AS vid FROM ced UNION SELECT dst FROM ced),
+    reach(v, u, d) AS (
+      SELECT vid, vid, 0 FROM av
+      UNION
+      SELECT r.v, e.dst, r.d + 1
+      FROM reach r JOIN ced e ON r.u = e.src
+      WHERE r.d < {_BALL_RADIUS}
+    ),
+    radii(r) AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(r))
+    SELECT reach.v AS vid, radii.r, count(DISTINCT reach.u) AS ball
+    FROM reach JOIN radii ON reach.d <= radii.r
+    GROUP BY 1, 2
+    """,
+)
+def corpus_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact neighborhood function N(v, r) for r = 0..3
+    over the directed citation graph (graph/anf.py exact_balls) vs a
+    bounded-depth transitive-closure oracle. This is the CORRECTNESS
+    twin of corpus_hyperball — quadratic state, oracle scale only."""
+    _, edges = corpus_tables(spark)
+    return exact_balls(edges.select("src", "dst"), radius=_BALL_RADIUS)
+
+
+# --------------------------------------------------------------------------
+@register("corpus_hyperball")  # rows-only: HLL estimates have no SQL twin;
+# accuracy vs exact_balls is pinned in tests/test_topology.py
+def corpus_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall (HLL-counter) approximate neighborhood function —
+    the 100-TB path for corpus_neighborhood_function: O(n·m) state,
+    O(E·m) rows per round, vertex id the only shuffle key
+    (graph/anf.py hyperball docstring for the full account)."""
+    _, edges = corpus_tables(spark)
+    return hyperball(edges.select("src", "dst"), radius=_BALL_RADIUS, log2m=6)
+
+
+# --------------------------------------------------------------------------
+def _louvain_round_sql(i: int) -> str:
+    """One synchronous integer local-move round as SQL CTEs
+    (lab{i-1} -> lab{i}) — the exact rule of graph/louvain.py."""
+    p = i - 1
+    return f"""
+    vol{i} AS (SELECT l.c AS c, sum(d.d) AS vol
+               FROM lab{p} l JOIN deg d ON l.vid = d.vid GROUP BY l.c),
+    k{i} AS (SELECT s.src AS vid, l.c AS c, count(*) AS k
+             FROM sym s JOIN lab{p} l ON s.dst = l.vid GROUP BY 1, 2),
+    cand{i} AS (
+      SELECT k.vid AS vid, k.c AS c,
+             2 * (SELECT m FROM mm) * (k.k - coalesce(ko.k, 0))
+               - d.d * (v.vol - vo.vol + d.d) AS score
+      FROM k{i} k
+        JOIN lab{p} o ON k.vid = o.vid
+        LEFT JOIN k{i} ko ON ko.vid = k.vid AND ko.c = o.c
+        JOIN deg d ON d.vid = k.vid
+        JOIN vol{i} v ON v.c = k.c
+        JOIN vol{i} vo ON vo.c = o.c
+      WHERE k.c <> o.c
+      UNION ALL
+      SELECT vid, c, 0 FROM lab{p}
+    ),
+    lab{i} AS (
+      SELECT vid, c FROM (
+        SELECT vid, c,
+               row_number() OVER (PARTITION BY vid
+                                  ORDER BY score DESC, c) AS rn
+        FROM cand{i}) WHERE rn = 1
+    )"""
+
+
+@register(
+    "graph_part_louvain_move",
+    oracle=f"""
+    WITH {_GRAPH_CTE},
+    deg AS (SELECT src AS vid, count(*) AS d FROM sym GROUP BY src),
+    mm AS (SELECT count(*) AS m FROM edges),
+    lab0 AS (SELECT vid, vid AS c FROM verts),
+    {_louvain_round_sql(1)},
+    {_louvain_round_sql(2)}
+    SELECT vid, c AS community FROM lab{_LOUVAIN_ROUNDS}
+    """,
+)
+def graph_part_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous Louvain local-move rounds
+    (graph/louvain.py — exact-integer modularity gains, singleton
+    start) on the part graph, vs an oracle replaying the identical
+    integer rule round by round."""
+    edges = part_graph_edges(spark, sf_dir).select("src", "dst")
+    return louvain_local_moves(edges, rounds=_LOUVAIN_ROUNDS)

@@ -176,3 +176,35 @@ def scc_oracle(n, edge_list):
                 u, _ = work[-1]
                 low[u] = min(low[u], low[v])
     return out
+
+
+# xxHash64 of one little-endian long, seed 42 — bit-equal to Spark's
+# F.xxhash64(col.cast("long")) (public xxHash spec; verified against
+# the JVM value in tests/test_topology.py)
+_XXP1 = 11400714785074694791
+_XXP2 = 14029467366897019727
+_XXP3 = 1609587929392839161
+_XXP4 = 9650029242287828579
+_XXP5 = 2870177450012600261
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x, r):
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxhash64_long(v, seed=42):
+    """Unsigned xxHash64 of the 8-byte little-endian signed long v."""
+    k1 = v & _M64
+    acc = (seed + _XXP5 + 8) & _M64
+    k1 = (k1 * _XXP2) & _M64
+    k1 = _rotl64(k1, 31)
+    k1 = (k1 * _XXP1) & _M64
+    acc ^= k1
+    acc = (_rotl64(acc, 27) * _XXP1 + _XXP4) & _M64
+    acc ^= acc >> 33
+    acc = (acc * _XXP2) & _M64
+    acc ^= acc >> 29
+    acc = (acc * _XXP3) & _M64
+    acc ^= acc >> 32
+    return acc
