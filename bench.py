@@ -55,6 +55,10 @@ HEADLINE = [
     # fixed-round attenuated-walk kernel (Katz) get their own numbers
     "corpus_cocitation",
     "corpus_katz",
+    # r4 topology pack: HyperBall's per-round register shuffle and the
+    # SCC→condensation-relaxation composition get their own numbers
+    "corpus_hyperball",
+    "corpus_generations",
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

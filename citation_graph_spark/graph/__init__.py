@@ -19,6 +19,7 @@ from citation_graph_spark.graph.scc import strongly_connected_components
 from citation_graph_spark.graph.anf import exact_balls, hyperball
 from citation_graph_spark.graph.louvain import louvain_local_moves
 from citation_graph_spark.graph.walks import deterministic_walks
+from citation_graph_spark.graph.wl import wl_refinement
 
 __all__ = [
     "assign_dense_ids",
@@ -43,4 +44,5 @@ __all__ = [
     "hyperball",
     "louvain_local_moves",
     "deterministic_walks",
+    "wl_refinement",
 ]

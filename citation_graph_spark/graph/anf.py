@@ -119,6 +119,21 @@ def exact_balls(
         return out.select("vid", "r", "ball")
 
 
+def hyperball_round_lineage(e: DataFrame, regs: DataFrame) -> DataFrame:
+    """One HyperBall round (pre-checkpoint lineage): pull successor
+    registers across each edge, keep the register-wise max. Exposed
+    for the plan-regression suite — the round must stay an equi-join
+    plus one grouped max, never a cartesian shape."""
+    pulled = e.join(regs, e["dst"] == regs["vid"]).select(
+        e["src"].alias("vid"), "idx", "rho"
+    )
+    return (
+        regs.unionByName(pulled)
+        .groupBy("vid", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
 def hyperball(
     edges: DataFrame,
     radius: int,
@@ -175,14 +190,8 @@ def hyperball(
         out = estimates(0)
         with shuffle_partitions_conf(spark, num_partitions):
             for r in range(1, radius + 1):
-                pulled = (
-                    e.join(regs, e["dst"] == regs["vid"])
-                    .select(e["src"].alias("vid"), "idx", "rho")
-                )
                 regs = (
-                    regs.unionByName(pulled)
-                    .groupBy("vid", "idx")
-                    .agg(F.max("rho").alias("rho"))
+                    hyperball_round_lineage(e, regs)
                     .repartition(num_partitions, "vid")
                     .localCheckpoint(eager=True)
                 )

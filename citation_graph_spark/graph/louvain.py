@@ -48,6 +48,68 @@ from citation_graph_spark.session import (
 )
 
 
+def louvain_round_lineage(
+    sym: DataFrame, deg: DataFrame, comm: DataFrame, m: int
+) -> DataFrame:
+    """One synchronous local-move round (pre-checkpoint lineage):
+    community volumes, per-(vertex, neighbor-community) edge counts,
+    integer gain, per-vertex window argmax. Exposed for the
+    plan-regression suite — equi-joins and grouped aggregations only,
+    never a cartesian shape."""
+    vol = (
+        comm.join(deg, "vid").groupBy("community").agg(F.sum("d").alias("vol"))
+    )
+    k = (
+        sym.join(
+            comm.select(
+                F.col("vid").alias("dst"), F.col("community").alias("c")
+            ),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("vid"), "c")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    own = comm.select("vid", F.col("community").alias("own_c"))
+    k_own = (
+        k.join(own, (k["vid"] == own["vid"]) & (k["c"] == own["own_c"]))
+        .select(k["vid"], F.col("k").alias("k_own"))
+    )
+    base = (
+        k.join(own, "vid")
+        .join(k_own, "vid", "left")
+        .na.fill({"k_own": 0})
+        .join(deg, "vid")
+        .join(vol.withColumnRenamed("community", "c"), "c")
+        .join(
+            vol.select(
+                F.col("community").alias("own_c"),
+                F.col("vol").alias("own_vol"),
+            ),
+            "own_c",
+        )
+    )
+    moves = base.filter(F.col("c") != F.col("own_c")).select(
+        "vid",
+        "c",
+        (
+            F.lit(2 * m) * (F.col("k") - F.col("k_own"))
+            - F.col("d") * (F.col("vol") - F.col("own_vol") + F.col("d"))
+        ).alias("score"),
+    )
+    stay = comm.select(
+        "vid",
+        F.col("community").alias("c"),
+        F.lit(0).cast("long").alias("score"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("score").desc(), F.col("c"))
+    return (
+        moves.unionByName(stay)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vid", F.col("c").alias("community"))
+    )
+
+
 def louvain_local_moves(
     edges: DataFrame,
     rounds: int = 2,
@@ -84,69 +146,8 @@ def louvain_local_moves(
         comm = deg.select("vid", F.col("vid").alias("community"))
         with shuffle_partitions_conf(spark, num_partitions):
             for _ in range(rounds):
-                vol = (
-                    comm.join(deg, "vid")
-                    .groupBy("community")
-                    .agg(F.sum("d").alias("vol"))
-                )
-                # k(v, c): edges from v into community c
-                k = (
-                    sym.join(
-                        comm.select(
-                            F.col("vid").alias("dst"),
-                            F.col("community").alias("c"),
-                        ),
-                        "dst",
-                    )
-                    .groupBy(F.col("src").alias("vid"), "c")
-                    .agg(F.count(F.lit(1)).alias("k"))
-                )
-                own = comm.select(
-                    "vid", F.col("community").alias("own_c")
-                )
-                k_own = (
-                    k.join(
-                        own,
-                        (k["vid"] == own["vid"]) & (k["c"] == own["own_c"]),
-                    )
-                    .select(k["vid"], F.col("k").alias("k_own"))
-                )
-                base = (
-                    k.join(own, "vid")
-                    .join(k_own, "vid", "left")
-                    .na.fill({"k_own": 0})
-                    .join(deg, "vid")
-                    .join(vol.withColumnRenamed("community", "c"), "c")
-                    .join(
-                        vol.select(
-                            F.col("community").alias("own_c"),
-                            F.col("vol").alias("own_vol"),
-                        ),
-                        "own_c",
-                    )
-                )
-                moves = base.filter(F.col("c") != F.col("own_c")).select(
-                    "vid",
-                    "c",
-                    (
-                        F.lit(2 * m) * (F.col("k") - F.col("k_own"))
-                        - F.col("d")
-                        * (F.col("vol") - F.col("own_vol") + F.col("d"))
-                    ).alias("score"),
-                )
-                stay = comm.select(
-                    "vid",
-                    F.col("community").alias("c"),
-                    F.lit(0).cast("long").alias("score"),
-                )
-                w = Window.partitionBy("vid").orderBy(
-                    F.col("score").desc(), F.col("c")
-                )
                 comm = (
-                    moves.unionByName(stay)
-                    .withColumn("rn", F.row_number().over(w))
-                    .filter(F.col("rn") == 1)
-                    .select("vid", F.col("c").alias("community"))
+                    louvain_round_lineage(sym, deg, comm, m)
                     .repartition(num_partitions, "vid")
                     .localCheckpoint(eager=True)
                 )

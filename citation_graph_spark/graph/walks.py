@@ -49,6 +49,24 @@ def walk_priority(u_col, step_col, w_col):
     )
 
 
+def walk_round_lineage(e: DataFrame, frontier: DataFrame, t: int) -> DataFrame:
+    """One walk step (pre-checkpoint lineage): frontier⨝edges equi-join
+    then per-walk hash-argmin window. Exposed for the plan-regression
+    suite."""
+    cand = frontier.join(e, frontier["v"] == e["src"]).select(
+        "wid",
+        F.lit(t).alias("step"),
+        F.col("dst").alias("v"),
+        walk_priority(F.col("v"), F.lit(t), F.col("dst")).alias("h"),
+    )
+    w = Window.partitionBy("wid").orderBy("h", "v")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("wid", "step", "v")
+    )
+
+
 def deterministic_walks(
     edges: DataFrame,
     seeds: DataFrame,
@@ -82,20 +100,8 @@ def deterministic_walks(
 
         with shuffle_partitions_conf(spark, num_partitions):
             for t in range(1, steps + 1):
-                cand = frontier.join(e, frontier["v"] == e["src"]).select(
-                    "wid",
-                    F.lit(t).alias("step"),
-                    F.col("dst").alias("v"),
-                    walk_priority(
-                        F.col("v"), F.lit(t), F.col("dst")
-                    ).alias("h"),
-                )
-                w = Window.partitionBy("wid").orderBy("h", "v")
-                frontier = (
-                    cand.withColumn("rn", F.row_number().over(w))
-                    .filter(F.col("rn") == 1)
-                    .select("wid", "step", "v")
-                    .localCheckpoint(eager=True)
+                frontier = walk_round_lineage(e, frontier, t).localCheckpoint(
+                    eager=True
                 )
                 if frontier.isEmpty():
                     break

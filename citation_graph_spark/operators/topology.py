@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from citation_graph_spark.graph import strongly_connected_components, undirect
 from citation_graph_spark.graph.anf import exact_balls, hyperball
 from citation_graph_spark.graph.louvain import louvain_local_moves
+from citation_graph_spark.graph.wl import WL_C1, WL_C2, WL_C3, WL_P, wl_refinement
 from citation_graph_spark.graph.walks import (
     WALK_HASH_A,
     WALK_HASH_B,
@@ -69,6 +70,24 @@ _SCC_CTE = """
       GROUP BY vt.vid
     )
 """
+
+
+def generation_relax_lineage(q: DataFrame, gen: DataFrame) -> DataFrame:
+    """One longest-path relaxation round over condensation edges
+    ``q(csrc, cdst)`` and current ``gen(c, generation)`` — equi-join,
+    grouped max, left-join merge. Exposed for the plan-regression
+    suite and the micro-graph pytest replay."""
+    msg = (
+        q.join(gen, q["csrc"] == gen["c"])
+        .groupBy(F.col("cdst").alias("c"))
+        .agg((F.max("generation") + 1).alias("up"))
+    )
+    return gen.join(msg, "c", "left").select(
+        "c",
+        F.greatest(
+            F.col("generation"), F.coalesce(F.col("up"), F.lit(0))
+        ).alias("generation"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -129,21 +148,7 @@ def corpus_generations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max(gen(v), 1 + max over predecessors) until fixpoint; the DAG
     # guarantees convergence within its depth
     for _ in range(10_000):
-        msg = (
-            q.join(gen, q["csrc"] == gen["c"])
-            .groupBy(F.col("cdst").alias("c"))
-            .agg((F.max("generation") + 1).alias("up"))
-        )
-        new = (
-            gen.join(msg, "c", "left")
-            .select(
-                "c",
-                F.greatest(
-                    F.col("generation"), F.coalesce(F.col("up"), F.lit(0))
-                ).alias("generation"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        new = generation_relax_lineage(q, gen).localCheckpoint(eager=True)
         changed = (
             new.alias("n")
             .join(gen.alias("o"), "c")
@@ -291,6 +296,46 @@ def corpus_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     (graph/anf.py hyperball docstring for the full account)."""
     _, edges = corpus_tables(spark)
     return hyperball(edges.select("src", "dst"), radius=_BALL_RADIUS, log2m=6)
+
+
+# --------------------------------------------------------------------------
+_WL_ROUNDS = 3
+
+
+@register(
+    "corpus_wl_refinement",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_CTE},
+    deg AS (SELECT src AS vid, count(*) AS color FROM csym GROUP BY src),
+    -- flagged self-loops: the single recursive reference delivers each
+    -- vertex its OWN previous color through the same join (the
+    -- corpus_pagerank oracle's trick)
+    csym2 AS (SELECT src, dst, 0 AS own FROM csym
+              UNION ALL SELECT vid, vid, 1 FROM deg),
+    wl(it, vid, color) AS (
+      SELECT 0, vid, color FROM deg
+      UNION ALL
+      SELECT x.it, x.vid, x.color FROM (
+        SELECT w.it + 1 AS it, s.src AS vid,
+               (max(CASE WHEN s.own = 1 THEN w.color END) * {WL_C1}
+                + coalesce(sum(CASE WHEN s.own = 0
+                               THEN (w.color * {WL_C2} + {WL_C3}) % {WL_P}
+                               END), 0)) % {WL_P} AS color
+        FROM wl w JOIN csym2 s ON w.vid = s.dst
+        WHERE w.it < {_WL_ROUNDS}
+        GROUP BY 1, 2
+      ) x
+    )
+    SELECT vid, color FROM wl WHERE it = {_WL_ROUNDS}
+    """,
+)
+def corpus_wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler-Leman color refinement, 3 rounds from degree colors,
+    on the undirected citation graph (graph/wl.py) — the WL-subtree
+    structural feature per document, vs a recursive-CTE oracle
+    replaying the identical order-insensitive integer hash."""
+    _, edges = corpus_tables(spark)
+    return wl_refinement(edges.select("src", "dst"), rounds=_WL_ROUNDS)
 
 
 # --------------------------------------------------------------------------

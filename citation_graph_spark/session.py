@@ -84,13 +84,22 @@ def get_spark(
         shuffle_partitions = max(cores, 4)
 
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
-    # This sandbox kernel has a very slow page-fault path (measured:
-    # a growing 24g heap made a 1s job take 46s). Fix: fixed-size heap
-    # (-Xms == -Xmx) pre-touched once at JVM start, and a GC that never
-    # uncommits (ParallelGC) so pages are faulted exactly once. On a
-    # normal cluster these flags are merely harmless throughput
-    # defaults.
-    java_opts = f"-Xms{mem} -XX:+AlwaysPreTouch -XX:+UseParallelGC"
+    # JVM memory flags are EMPIRICAL on this sandbox host and the host
+    # changes regimes. History: an early regime had a slow page-fault
+    # path (a growing 24g heap made a 1s job take 46s), fixed then by
+    # -Xms == -Xmx + AlwaysPreTouch (fault every page once at start).
+    # The late-round-4 regime INVERTED that: pre-touched pages appear
+    # to be reclaimed/deduplicated behind the guest's back (zero-page
+    # KSM-style), so first REAL writes re-fault through the slow path
+    # mid-job — a controlled A/B (bench_out/extract_ab_jvm.json) put
+    # the 32-thread extraction stage at 66-109 s with
+    # -Xms24g+AlwaysPreTouch vs 18-19 s with a plain -Xmx24g heap,
+    # proportional to heap size (12g pre-touch: 38-61 s). Default is
+    # therefore a plain grow-on-demand heap; set SPARK_GRAFT_JVM_OPTS
+    # to override (e.g. restore pre-touch if the host regime flips
+    # back). ParallelGC stays: it does not uncommit, so pages fault at
+    # most once either way.
+    java_opts = os.environ.get("SPARK_GRAFT_JVM_OPTS", "-XX:+UseParallelGC")
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
     try:
         os.makedirs(local_dir, exist_ok=True)

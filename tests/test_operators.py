@@ -96,5 +96,8 @@ def test_rows_only_queries_have_kernel_oracles():
         "kmeans_pareto_front",
         "tsne_xy",
         "umap_xy",  # full numpy pipeline-replay oracle in test_dimred
+        # HLL estimates have no SQL twin; register fixpoint bit-replayed
+        # + accuracy pinned vs oracle-backed exact_balls in test_topology
+        "corpus_hyperball",
     }
     assert rows_only <= allowed, rows_only

@@ -399,3 +399,118 @@ def test_betweenness_round_shapes(spark):
     # same budget as the forward round: level⨝edges, ratio groupBy,
     # left join back to the level's receivers — all equi-keyed
     assert sb["exchanges"] <= 8
+
+
+def test_hyperball_round_shape(spark):
+    # one HyperBall round: edges⨝registers equi-join + grouped max —
+    # the scale claim is that a round is O(E·m) rows behind ONE
+    # vertex-keyed shuffle, never a cartesian register blend
+    from citation_graph_spark.graph.anf import hyperball_round_lineage
+
+    e = (
+        spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        .repartition(4, "src")
+        .localCheckpoint(eager=True)
+    )
+    regs = (
+        spark.createDataFrame(
+            [(1, 0, 1), (2, 5, 2), (3, 9, 1)], "vid long, idx int, rho int"
+        )
+        .repartition(4, "vid")
+        .localCheckpoint(eager=True)
+    )
+    with static_plans(spark):
+        s = plan_stats(hyperball_round_lineage(e, regs))
+    assert s["cartesian"] == 0
+    assert s["exchanges"] <= 7
+
+
+def test_walk_round_shape(spark):
+    # one walk step: frontier⨝edges equi-join + per-walk window argmin
+    from citation_graph_spark.graph.walks import walk_round_lineage
+
+    e = (
+        spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        .repartition(4, "src")
+        .localCheckpoint(eager=True)
+    )
+    fr = (
+        spark.createDataFrame([(1, 0, 1)], "wid long, step int, v long")
+        .localCheckpoint(eager=True)
+    )
+    with static_plans(spark):
+        s = plan_stats(walk_round_lineage(e, fr, 1))
+    assert s["cartesian"] == 0
+    assert s["exchanges"] <= 7
+
+
+def test_louvain_round_shape(spark):
+    # one local-move round: volumes + k(v,c) grouped aggs, equi-joins,
+    # per-vertex window — bounded exchanges, never cartesian
+    from citation_graph_spark.graph.louvain import louvain_round_lineage
+
+    sym = (
+        spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+        )
+        .repartition(4, "src")
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        spark.createDataFrame([(1, 1), (2, 2), (3, 1)], "vid long, d long")
+        .repartition(4, "vid")
+        .localCheckpoint(eager=True)
+    )
+    comm = deg.selectExpr("vid", "vid AS community").localCheckpoint(
+        eager=True
+    )
+    with static_plans(spark):
+        s = plan_stats(louvain_round_lineage(sym, deg, comm, 2))
+    assert s["cartesian"] == 0
+    assert s["exchanges"] <= 28
+
+
+def test_generation_relax_round_shape(spark):
+    # one condensation-DAG relaxation round: equi-join + grouped max +
+    # left-join merge — the loop is depth-bounded, each round this shape
+    from citation_graph_spark.operators.topology import (
+        generation_relax_lineage,
+    )
+
+    q = (
+        spark.createDataFrame([(1, 2), (2, 3)], "csrc long, cdst long")
+        .localCheckpoint(eager=True)
+    )
+    gen = (
+        spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 0)], "c long, generation int"
+        )
+        .localCheckpoint(eager=True)
+    )
+    with static_plans(spark):
+        s = plan_stats(generation_relax_lineage(q, gen))
+    assert s["cartesian"] == 0
+    assert s["exchanges"] <= 9
+
+
+def test_wl_round_shape(spark):
+    # one WL round: edges⨝colors equi-join + vertex-keyed sum + merge
+    # join — PageRank's shuffle structure, never cartesian
+    from citation_graph_spark.graph.wl import wl_round_lineage
+
+    sym = (
+        spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+        )
+        .repartition(4, "src")
+        .localCheckpoint(eager=True)
+    )
+    colors = (
+        spark.createDataFrame([(1, 1), (2, 2), (3, 1)], "vid long, color long")
+        .repartition(4, "vid")
+        .localCheckpoint(eager=True)
+    )
+    with static_plans(spark):
+        s = plan_stats(wl_round_lineage(sym, colors))
+    assert s["cartesian"] == 0
+    assert s["exchanges"] <= 8

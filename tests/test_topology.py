@@ -259,8 +259,8 @@ def test_louvain_merges_cliques(spark):
 
 @pytest.mark.parametrize("name", sorted(DG))
 def test_generations_match_replay(spark, name):
-    from citation_graph_spark.operators.graphq import corpus_tables  # noqa: F401
     from citation_graph_spark.graph import strongly_connected_components
+    from citation_graph_spark.operators.topology import generation_relax_lineage
     from pyspark.sql import functions as F
 
     n, el = DG[name]
@@ -277,17 +277,7 @@ def test_generations_match_replay(spark, name):
         scc.select(F.col("scc").alias("c")).distinct().withColumn("generation", F.lit(0))
     )
     for _ in range(n + 1):
-        msg = (
-            q.join(gen, q["csrc"] == gen["c"])
-            .groupBy(F.col("cdst").alias("c"))
-            .agg((F.max("generation") + 1).alias("up"))
-        )
-        new = gen.join(msg, "c", "left").select(
-            "c",
-            F.greatest(F.col("generation"), F.coalesce(F.col("up"), F.lit(0))).alias(
-                "generation"
-            ),
-        ).localCheckpoint(eager=True)
+        new = generation_relax_lineage(q, gen).localCheckpoint(eager=True)
         if (
             new.alias("a")
             .join(gen.alias("b"), "c")
@@ -310,3 +300,50 @@ def test_generation_zero_is_source_components(spark):
     # the 0-1-2 cycle is one SCC with no external in-edge → generation 0
     assert want[0] == want[1] == want[2] == 0
     assert want[3] == 1 and want[4] == 2
+
+
+def wl_replay(el, rounds):
+    from citation_graph_spark.graph.wl import WL_C1, WL_C2, WL_C3, WL_P
+
+    adj = defaultdict(set)
+    for s, d in el:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    color = {v: len(adj[v]) for v in adj}
+    for _ in range(rounds):
+        color = {
+            v: (
+                color[v] * WL_C1
+                + sum((color[w] * WL_C2 + WL_C3) % WL_P for w in adj[v])
+            )
+            % WL_P
+            for v in adj
+        }
+    return color
+
+
+@pytest.mark.parametrize("name", sorted(DG))
+def test_wl_refinement_matches_replay(spark, name):
+    from citation_graph_spark.graph import wl_refinement
+
+    n, el = DG[name]
+    got = wl_refinement(
+        edges_df(spark, [(s, d, 1.0) for s, d in el]), rounds=3
+    ).toPandas()
+    want = wl_replay(el, 3)
+    assert {r.vid: r.color for r in got.itertuples()} == want
+
+
+def test_wl_separates_structure_and_respects_symmetry(spark):
+    from citation_graph_spark.graph import wl_refinement
+
+    # path 0-1-2-3-4: ends {0,4} and mid-pairs {1,3} are WL-equivalent
+    # by symmetry; the center 2 differs from both after refinement
+    el = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    got = wl_refinement(
+        edges_df(spark, [(s, d, 1.0) for s, d in el]), rounds=3
+    ).toPandas()
+    c = {r.vid: r.color for r in got.itertuples()}
+    assert c[0] == c[4] and c[1] == c[3]
+    assert len({c[0], c[1], c[2]}) == 3

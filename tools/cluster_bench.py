@@ -221,10 +221,12 @@ def submit(zip_path: str, docs_path: str, n_workers: int) -> dict:
         "--master", f"spark://{HOST}:{MASTER_PORT}",
         "--deploy-mode", "client",
         "--driver-memory", "4g",
-        "--conf", "spark.driver.extraJavaOptions=-Xms4g -XX:+AlwaysPreTouch -XX:+UseParallelGC",
+        # plain grow-on-demand heaps: AlwaysPreTouch is 2-6x slower in
+        # the late-r4 host regime (bench_out/extract_ab_jvm.json)
+        "--conf", "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
         "--conf", f"spark.executor.cores={CORES_PER_EXEC}",
         "--conf", f"spark.executor.memory={EXEC_MEM}",
-        "--conf", f"spark.executor.extraJavaOptions=-Xms{EXEC_MEM} -XX:+AlwaysPreTouch -XX:+UseParallelGC",
+        "--conf", f"spark.executor.extraJavaOptions=-XX:+UseParallelGC",
         "--conf", "spark.local.dir=/dev/shm/spark-local",
         # AQE's partition coalescing starves Arrow/Python stages
         # (measured 2.6x extraction slowdown) and adds per-round stage

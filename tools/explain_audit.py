@@ -54,6 +54,12 @@ AUDIT = [
     ("ktruss_support_round", "one k-truss peel round post-orientation: wedge/closure equi-joins + support groupBy, orientation shuffle REUSED"),
     ("betweenness_forward_round", "Brandes forward round: frontier⨝edges + settled anti-join + sigma groupBy"),
     ("betweenness_backward_round", "Brandes backward round: finalized level⨝edges + ratio groupBy + left join to receivers"),
+    ("hyperball_round", "one HyperBall round: edges⨝registers equi-join + grouped register max — O(E·m) rows behind one vertex-keyed shuffle"),
+    ("walk_round", "one walk step: frontier⨝edges equi-join + per-walk hash-argmin window"),
+    ("louvain_round", "one Louvain local-move round: volume/k(v,c) grouped aggs + equi-joins + per-vertex window argmax"),
+    ("generation_relax_round", "one condensation-DAG relaxation: equi-join + grouped max + left-join merge"),
+    ("corpus_assortativity", "degree assortativity: two degree joins + one global moment agg"),
+    ("wl_round", "one WL refinement round: edges⨝colors equi-join + vertex-keyed multiset-hash sum + merge join"),
 ]
 
 
@@ -149,6 +155,61 @@ def _lineage(spark, name: str):
             "s long, vid long, dist int, sigma long, delta double",
         ).repartition(4, "s", "vid").localCheckpoint(eager=True)
         return backward_round_lineage(e, done, cur, 0)
+    if name == "hyperball_round":
+        from citation_graph_spark.graph.anf import hyperball_round_lineage
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3)], "src long, dst long"
+        ).repartition(4, "src").localCheckpoint(eager=True)
+        regs = spark.createDataFrame(
+            [(1, 0, 1), (2, 5, 2), (3, 9, 1)], "vid long, idx int, rho int"
+        ).repartition(4, "vid").localCheckpoint(eager=True)
+        return hyperball_round_lineage(e, regs)
+    if name == "walk_round":
+        from citation_graph_spark.graph.walks import walk_round_lineage
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3)], "src long, dst long"
+        ).repartition(4, "src").localCheckpoint(eager=True)
+        fr = spark.createDataFrame(
+            [(1, 0, 1)], "wid long, step int, v long"
+        ).localCheckpoint(eager=True)
+        return walk_round_lineage(e, fr, 1)
+    if name == "louvain_round":
+        from citation_graph_spark.graph.louvain import louvain_round_lineage
+
+        sym = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+        ).repartition(4, "src").localCheckpoint(eager=True)
+        deg = spark.createDataFrame(
+            [(1, 1), (2, 2), (3, 1)], "vid long, d long"
+        ).repartition(4, "vid").localCheckpoint(eager=True)
+        comm = deg.selectExpr("vid", "vid AS community").localCheckpoint(
+            eager=True
+        )
+        return louvain_round_lineage(sym, deg, comm, 2)
+    if name == "generation_relax_round":
+        from citation_graph_spark.operators.topology import (
+            generation_relax_lineage,
+        )
+
+        q = spark.createDataFrame(
+            [(1, 2), (2, 3)], "csrc long, cdst long"
+        ).localCheckpoint(eager=True)
+        gen = spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 0)], "c long, generation int"
+        ).localCheckpoint(eager=True)
+        return generation_relax_lineage(q, gen)
+    if name == "wl_round":
+        from citation_graph_spark.graph.wl import wl_round_lineage
+
+        sym = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+        ).repartition(4, "src").localCheckpoint(eager=True)
+        colors = spark.createDataFrame(
+            [(1, 1), (2, 2), (3, 1)], "vid long, color long"
+        ).repartition(4, "vid").localCheckpoint(eager=True)
+        return wl_round_lineage(sym, colors)
     if name == "benchmark_contamination":
         from citation_graph_spark.operators.dedup import (
             _shingles,

@@ -79,12 +79,14 @@ def spark_submit(zip_path: str, docs_path: str, cores: int) -> dict:
         f"local[{cores}]",
         # memory/JVM flags must be on the submit line: the driver JVM is
         # already running by the time SparkSession.builder confs are read.
-        # Fixed-size pre-touched heap: this kernel's page-fault path is
-        # ~10x slow (see session.py).
+        # Plain grow-on-demand heap — the late-r4 host regime reclaims
+        # pre-touched pages and re-faults them slowly mid-job; the A/B
+        # in bench_out/extract_ab_jvm.json measured AlwaysPreTouch at
+        # 2-6x extraction slowdown (see session.py for the history).
         "--driver-memory",
         "24g",
         "--conf",
-        "spark.driver.extraJavaOptions=-Xms24g -XX:+AlwaysPreTouch -XX:+UseParallelGC",
+        "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
         "--conf",
         "spark.local.dir=/dev/shm/spark-local",
         "--py-files",
