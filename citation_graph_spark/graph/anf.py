@@ -34,7 +34,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from citation_graph_spark.checkpointing import CheckpointManager
 from citation_graph_spark.graph.degrees import auto_partitions
+from citation_graph_spark.metrics import MetricsLogger
 from citation_graph_spark.session import (
     iterative_kernel_conf,
     shuffle_partitions_conf,
@@ -139,14 +141,37 @@ def hyperball(
     radius: int,
     log2m: int = 6,
     num_partitions: int | None = None,
+    metrics_path: str | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 2,
+    resume: bool = False,
 ) -> DataFrame:
     """HyperBall: HLL-approximate out-ball sizes ``(vid, r, est)`` for
     r = 0..radius. Counters are sparse (vid, idx, rho) rows; one round
     is: join counters to in-edges of each vertex, union own counters,
     groupBy (vid, idx) max — vertex id is the only shuffle key, per
-    round bytes are O(E * m) with m = 2^log2m registers."""
+    round bytes are O(E * m) with m = 2^log2m registers.
+
+    ``checkpoint_dir`` makes the run resumable (north rule): every
+    ``checkpoint_interval`` rounds BOTH state tables — the sparse
+    registers and the estimates accumulated so far — are snapshotted
+    to parquet under paired manifests; ``resume=True`` reloads the
+    newest pair and replays only the remaining rounds. Registers are
+    integers, so the round-trip is exact and the resumed output is
+    bit-identical to an uninterrupted run."""
     with iterative_kernel_conf(edges.sparkSession):
         spark = edges.sparkSession
+        metrics = MetricsLogger(metrics_path, "hyperball")
+        ck_regs = (
+            CheckpointManager(checkpoint_dir, "hyperball_regs")
+            if checkpoint_dir
+            else None
+        )
+        ck_est = (
+            CheckpointManager(checkpoint_dir, "hyperball_est")
+            if checkpoint_dir
+            else None
+        )
         m = 1 << log2m
         e = edges.select("src", "dst").distinct().persist()
         n_edges = e.count()
@@ -159,15 +184,11 @@ def hyperball(
             .distinct()
         )
         idx, rho = _register_cols(F.col("vid"), log2m)
-        regs = (
-            verts.select("vid", idx.alias("idx"), rho.alias("rho"))
-            .repartition(num_partitions, "vid")
-            .localCheckpoint(eager=True)
-        )
 
         # alpha_m * m^2 for the raw HLL estimate (Flajolet et al. 2007
         # constants; m >= 64 here so the m<64 special cases don't apply)
         alpha = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else 0.709
+        regs = None
 
         def estimates(r: int) -> DataFrame:
             agg = regs.groupBy("vid").agg(
@@ -187,14 +208,61 @@ def hyperball(
                 F.round(est).cast("long").alias("est"),
             )
 
-        out = estimates(0)
+        import time as _time
+
+        start_r = 0
+        out = None
+        if ck_regs and resume:
+            lr = ck_regs.load(spark)
+            le = ck_est.load(spark)
+            if (
+                lr is not None
+                and le is not None
+                and lr[1]["iteration"] == le[1]["iteration"]
+            ):
+                start_r = lr[1]["iteration"]
+                regs = (
+                    lr[0]
+                    .select("vid", "idx", "rho")
+                    .repartition(num_partitions, "vid")
+                    .localCheckpoint(eager=True)
+                )
+                out = (
+                    le[0].select("vid", "r", "est").localCheckpoint(eager=True)
+                )
+                if start_r >= radius:
+                    e.unpersist()
+                    return out
+        if out is None:
+            regs = (
+                verts.select("vid", idx.alias("idx"), rho.alias("rho"))
+                .repartition(num_partitions, "vid")
+                .localCheckpoint(eager=True)
+            )
+            out = estimates(0)
         with shuffle_partitions_conf(spark, num_partitions):
-            for r in range(1, radius + 1):
+            for r in range(start_r + 1, radius + 1):
+                t0 = _time.monotonic()
                 regs = (
                     hyperball_round_lineage(e, regs)
                     .repartition(num_partitions, "vid")
                     .localCheckpoint(eager=True)
                 )
                 out = out.unionByName(estimates(r))
+                metrics.log(
+                    r,
+                    wall_s=round(_time.monotonic() - t0, 4),
+                    msgs=n_edges,
+                )
+                if ck_regs and (
+                    r % checkpoint_interval == 0 or r == radius
+                ):
+                    meta = {"log2m": log2m, "radius": radius}
+                    ck_regs.save(regs, r, meta=meta)
+                    ck_est.save(out, r, meta=meta)
+                    # reading the just-written estimates back caps the
+                    # union lineage at checkpoint_interval rounds
+                    le = ck_est.load(spark)
+                    out = le[0].select("vid", "r", "est")
         e.unpersist()
         return out.select("vid", "r", "est")

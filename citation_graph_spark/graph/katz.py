@@ -35,6 +35,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from citation_graph_spark.checkpointing import CheckpointManager
 from citation_graph_spark.graph.degrees import auto_partitions
 from citation_graph_spark.metrics import MetricsLogger
 from citation_graph_spark.session import (
@@ -77,13 +78,23 @@ def katz_centrality(
     max_iter: int = 8,
     num_partitions: int | None = None,
     metrics_path: str | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 4,
+    resume: bool = False,
 ) -> DataFrame:
     """Returns ``(vid: long, score: double)`` after ``max_iter`` fixed
     synchronous rounds from ``x0 = beta`` on the DISTINCT directed edge
-    set (multiplicity is ignored: one citation link, one walk edge)."""
+    set (multiplicity is ignored: one citation link, one walk edge).
+
+    ``checkpoint_dir`` enables durable parquet snapshots of the state
+    every ``checkpoint_interval`` rounds (CheckpointManager manifest);
+    ``resume=True`` continues from the newest snapshot — bit-identical
+    final scores (doubles round-trip parquet exactly; the resumed run
+    replays the identical remaining schedule)."""
     with iterative_kernel_conf(edges.sparkSession):
         return _katz(
-            edges, vertices, alpha, beta, max_iter, num_partitions, metrics_path
+            edges, vertices, alpha, beta, max_iter, num_partitions,
+            metrics_path, checkpoint_dir, checkpoint_interval, resume,
         )
 
 
@@ -95,9 +106,13 @@ def _katz(
     max_iter: int,
     num_partitions: int | None,
     metrics_path: str | None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 4,
+    resume: bool = False,
 ) -> DataFrame:
     spark = edges.sparkSession
     metrics = MetricsLogger(metrics_path, "katz")
+    ckpt = CheckpointManager(checkpoint_dir, "katz") if checkpoint_dir else None
 
     if vertices is None:
         vertices = (
@@ -118,14 +133,30 @@ def _katz(
     e.count()
     e0.unpersist()
 
-    state = (
-        vertices.select("vid", F.lit(float(beta)).alias("x"))
-        .repartition(num_partitions, "vid")
-        .localCheckpoint(eager=True)
-    )
+    start_iter = 0
+    state = None
+    if ckpt and resume:
+        loaded = ckpt.load(spark)
+        if loaded is not None:
+            saved, manifest = loaded
+            start_iter = manifest["iteration"]
+            state = (
+                saved.select("vid", "x")
+                .repartition(num_partitions, "vid")
+                .localCheckpoint(eager=True)
+            )
+            if start_iter >= max_iter:
+                e.unpersist()
+                return state.select("vid", F.col("x").alias("score"))
+    if state is None:
+        state = (
+            vertices.select("vid", F.lit(float(beta)).alias("x"))
+            .repartition(num_partitions, "vid")
+            .localCheckpoint(eager=True)
+        )
 
     with shuffle_partitions_conf(spark, num_partitions):
-        for it in range(1, max_iter + 1):
+        for it in range(start_iter + 1, max_iter + 1):
             t0 = time.monotonic()
             state = (
                 round_lineage(e, state, alpha, beta)
@@ -135,6 +166,11 @@ def _katz(
             metrics.log(
                 it, wall_s=round(time.monotonic() - t0, 4), msgs=n_edges
             )
+            if ckpt and (it % checkpoint_interval == 0 or it == max_iter):
+                ckpt.save(
+                    state, it,
+                    meta={"alpha": alpha, "beta": beta, "max_iter": max_iter},
+                )
 
     e.unpersist()
     return state.select("vid", F.col("x").alias("score"))

@@ -59,3 +59,72 @@ def test_components_kill_resume_identical(spark, tmp_path):
         .tolist()
     )
     assert resumed == full
+
+
+def test_katz_kill_resume_identical(spark, tmp_path):
+    from citation_graph_spark.graph.katz import katz_centrality
+
+    el = random_graph(300, 1500, seed=7)
+    edges = edges_df(spark, el)
+    verts = vertices_df(spark, 300)
+
+    full = (
+        katz_centrality(edges, verts, max_iter=6)
+        .orderBy("vid")
+        .toPandas()["score"]
+        .to_numpy()
+    )
+    ck = str(tmp_path / "ck")
+    # "killed" run: only 3 of 6 rounds, durable snapshot at round 2 + 3
+    katz_centrality(
+        edges, verts, max_iter=3, checkpoint_dir=ck, checkpoint_interval=2
+    )
+    resumed = (
+        katz_centrality(
+            edges, verts, max_iter=6, checkpoint_dir=ck, resume=True
+        )
+        .orderBy("vid")
+        .toPandas()["score"]
+        .to_numpy()
+    )
+    # doubles round-trip parquet exactly and the remaining schedule is
+    # identical, so resume is bit-identical, not merely allclose
+    assert (full == resumed).all()
+
+    # manifest at max_iter: a second resume replays zero rounds
+    again = (
+        katz_centrality(
+            edges, verts, max_iter=6, checkpoint_dir=ck, resume=True
+        )
+        .orderBy("vid")
+        .toPandas()["score"]
+        .to_numpy()
+    )
+    assert (again == resumed).all()
+
+
+def test_hyperball_kill_resume_identical(spark, tmp_path):
+    from citation_graph_spark.graph.anf import hyperball
+
+    el = random_graph(200, 800, seed=9)
+    edges = edges_df(spark, el)
+
+    full = (
+        hyperball(edges, radius=4, log2m=6)
+        .orderBy("vid", "r")
+        .toPandas()
+    )
+    ck = str(tmp_path / "ck")
+    hyperball(
+        edges, radius=2, log2m=6, checkpoint_dir=ck, checkpoint_interval=1
+    )
+    resumed = (
+        hyperball(
+            edges, radius=4, log2m=6, checkpoint_dir=ck, resume=True
+        )
+        .orderBy("vid", "r")
+        .toPandas()
+    )
+    # registers are integers: the parquet round-trip is exact, so the
+    # resumed estimates match the uninterrupted run row-for-row
+    assert (full.to_numpy() == resumed.to_numpy()).all()
