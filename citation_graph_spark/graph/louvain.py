@@ -37,11 +37,15 @@ iterative kernel here.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from citation_graph_spark.checkpointing import CheckpointManager
 from citation_graph_spark.graph.degrees import auto_partitions, undirect
+from citation_graph_spark.metrics import MetricsLogger
 from citation_graph_spark.session import (
     iterative_kernel_conf,
     shuffle_partitions_conf,
@@ -114,10 +118,20 @@ def louvain_local_moves(
     edges: DataFrame,
     rounds: int = 2,
     num_partitions: int | None = None,
+    metrics_path: str | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 2,
+    resume: bool = False,
 ) -> DataFrame:
     """``(vid, community)`` after ``rounds`` synchronous local-move
     rounds from the singleton partition, over the undirected simple
     graph of ``edges`` (any direction/duplication is normalized away).
+
+    ``checkpoint_dir``: durable parquet snapshot of the (vid,
+    community) assignment every ``checkpoint_interval`` rounds under a
+    CheckpointManager manifest; ``resume=True`` continues from the
+    newest snapshot. Community ids are integers, so the round-trip is
+    exact and the resumed fixpoint is bit-identical.
     """
     with iterative_kernel_conf(edges.sparkSession):
         spark = edges.sparkSession
@@ -143,14 +157,46 @@ def louvain_local_moves(
         )
         deg.count()
 
-        comm = deg.select("vid", F.col("vid").alias("community"))
+        metrics = MetricsLogger(metrics_path, "louvain")
+        ckpt = (
+            CheckpointManager(checkpoint_dir, "louvain")
+            if checkpoint_dir
+            else None
+        )
+        start_round = 0
+        comm = None
+        if ckpt and resume:
+            loaded = ckpt.load(spark)
+            if loaded is not None:
+                saved, manifest = loaded
+                start_round = manifest["iteration"]
+                comm = (
+                    saved.select("vid", "community")
+                    .repartition(num_partitions, "vid")
+                    .localCheckpoint(eager=True)
+                )
+                if start_round >= rounds:
+                    e.unpersist()
+                    sym.unpersist()
+                    deg.unpersist()
+                    return comm
+        if comm is None:
+            comm = deg.select("vid", F.col("vid").alias("community"))
         with shuffle_partitions_conf(spark, num_partitions):
-            for _ in range(rounds):
+            for it in range(start_round + 1, rounds + 1):
+                t0 = time.monotonic()
                 comm = (
                     louvain_round_lineage(sym, deg, comm, m)
                     .repartition(num_partitions, "vid")
                     .localCheckpoint(eager=True)
                 )
+                metrics.log(
+                    it, wall_s=round(time.monotonic() - t0, 4), msgs=2 * m
+                )
+                if ckpt and (
+                    it % checkpoint_interval == 0 or it == rounds
+                ):
+                    ckpt.save(comm, it, meta={"rounds": rounds, "m": m})
         e.unpersist()
         sym.unpersist()
         deg.unpersist()

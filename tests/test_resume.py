@@ -128,3 +128,30 @@ def test_hyperball_kill_resume_identical(spark, tmp_path):
     # registers are integers: the parquet round-trip is exact, so the
     # resumed estimates match the uninterrupted run row-for-row
     assert (full.to_numpy() == resumed.to_numpy()).all()
+
+
+def test_louvain_kill_resume_identical(spark, tmp_path):
+    from citation_graph_spark.graph.louvain import louvain_local_moves
+
+    el = random_graph(200, 900, seed=11)
+    edges = edges_df(spark, el)
+
+    full = (
+        louvain_local_moves(edges, rounds=4)
+        .orderBy("vid")
+        .toPandas()["community"]
+        .tolist()
+    )
+    ck = str(tmp_path / "ck")
+    louvain_local_moves(
+        edges, rounds=2, checkpoint_dir=ck, checkpoint_interval=1
+    )
+    resumed = (
+        louvain_local_moves(edges, rounds=4, checkpoint_dir=ck, resume=True)
+        .orderBy("vid")
+        .toPandas()["community"]
+        .tolist()
+    )
+    # integer community ids round-trip exactly; the synchronous rounds
+    # are deterministic, so the resumed fixpoint is bit-identical
+    assert resumed == full
