@@ -601,7 +601,8 @@ def _minhash_groups_oracle() -> str:
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
     ),
-    sym AS (SELECT d1 AS s, d2 AS d FROM prs UNION SELECT d2, d1 FROM prs),
+    sym AS (SELECT DISTINCT s, d FROM (
+        SELECT d1 AS s, d2 AS d FROM prs UNION ALL SELECT d2, d1 FROM prs)),
     docs AS (SELECT DISTINCT doc_id FROM documents),
     reach(v, l) AS (
       SELECT doc_id, doc_id FROM docs

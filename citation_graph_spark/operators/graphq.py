@@ -66,7 +66,8 @@ _GRAPH_CTE = """
     edges AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
               FROM wb a JOIN wb b
                 ON a.okey = b.okey AND a.brand = b.brand AND a.pk < b.pk),
-    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    sym AS (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)),
     verts AS (SELECT DISTINCT src AS vid FROM sym)
 """
 
@@ -902,7 +903,13 @@ _CORPUS_CTE = f"""
       WHERE s.vid <> t.vid
       GROUP BY 1, 2
     ),
-    csym AS (SELECT src, dst FROM cedges UNION SELECT dst, src FROM cedges)
+    csym AS (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM cedges UNION ALL SELECT dst, src FROM cedges))
+    -- DISTINCT is explicit (not a bare UNION): inside WITH RECURSIVE,
+    -- DuckDB 1.0 compiles every CTE's set-op as the recursive form and a
+    -- plain UNION between two branches does NOT dedup (repro: two-row
+    -- VALUES example keeps 4 rows under WITH RECURSIVE, 2 without).
+    -- Mirrors graph/degrees.py undirect()'s distinct().
 """
 
 

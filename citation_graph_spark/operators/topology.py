@@ -263,7 +263,8 @@ def corpus_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE {_CORPUS_CTE},
     ced AS (SELECT DISTINCT src, dst FROM cedges),
-    av AS (SELECT src AS vid FROM ced UNION SELECT dst FROM ced),
+    av AS (SELECT DISTINCT vid FROM (
+        SELECT src AS vid FROM ced UNION ALL SELECT dst AS vid FROM ced)),
     reach(v, u, d) AS (
       SELECT vid, vid, 0 FROM av
       UNION
