@@ -24,7 +24,7 @@ Reference parity anchors (public reference repo, cited file:line):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from citation_graph_spark.graph import strongly_connected_components, undirect
@@ -297,6 +297,90 @@ def corpus_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     (graph/anf.py hyperball docstring for the full account)."""
     _, edges = corpus_tables(spark)
     return hyperball(edges.select("src", "dst"), radius=_BALL_RADIUS, log2m=6)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "corpus_distance_distribution",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_CTE},
+    ced AS (SELECT DISTINCT src, dst FROM cedges),
+    av AS (SELECT DISTINCT vid FROM (
+        SELECT src AS vid FROM ced UNION ALL SELECT dst AS vid FROM ced)),
+    reach(v, u, d) AS (
+      SELECT vid, vid, 0 FROM av
+      UNION
+      SELECT r.v, e.dst, r.d + 1
+      FROM reach r JOIN ced e ON r.u = e.src
+      WHERE r.d < {_BALL_RADIUS}
+    ),
+    radii(r) AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(r)),
+    per_r AS (
+      SELECT radii.r AS r, count(*) AS pairs
+      FROM (SELECT v, u, min(d) AS d FROM reach GROUP BY 1, 2) p
+      JOIN radii ON p.d <= radii.r
+      GROUP BY 1
+    ),
+    dist AS (
+      SELECT r, pairs,
+             pairs - coalesce(lag(pairs) OVER (ORDER BY r), 0)
+               AS delta_pairs,
+             -- floor, not CAST: DuckDB's double->BIGINT cast rounds
+             -- half-away while Spark's cast truncates
+             CAST(floor(pairs * 1000000000
+               / (SELECT pairs FROM per_r WHERE r = {_BALL_RADIUS}))
+               AS BIGINT) AS frac_nano
+      FROM per_r
+    )
+    SELECT r, pairs, delta_pairs, frac_nano,
+           r = (SELECT min(r) FROM dist WHERE frac_nano >= 900000000)
+             AS is_eff_diam90
+    FROM dist
+    """,
+)
+def corpus_distance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance distribution of the directed citation graph for
+    r = 0..3: total reachable (v, u) pairs within r, new pairs at
+    exactly r, cumulative fraction of the radius-{_BALL_RADIUS} total
+    (nano-quantized integer division — identical in both engines), and
+    the interpolation-free effective-diameter flag (first r covering
+    >= 90% of reachable pairs; Boldi & Vigna 2013 §5, the headline
+    statistic HyperBall exists to estimate). Exact twin at oracle
+    scale: aggregates graph/anf.py exact_balls. The 100-TB path is the
+    SAME aggregation over corpus_hyperball's per-vertex HLL estimates
+    (sum of estimates replaces sum of exact balls; shuffle key stays
+    the radius — {_BALL_RADIUS + 1} rows total)."""
+    _, edges = corpus_tables(spark)
+    balls = exact_balls(edges.select("src", "dst"), radius=_BALL_RADIUS)
+    per_r = balls.groupBy("r").agg(F.sum("ball").alias("pairs"))
+    w = Window.orderBy("r")
+    total = per_r.filter(F.col("r") == _BALL_RADIUS).select("pairs")
+    dist = (
+        per_r.withColumn(
+            "delta_pairs",
+            F.col("pairs") - F.coalesce(F.lag("pairs").over(w), F.lit(0)),
+        )
+        # radius+1 rows: the scalar total broadcast-crossJoins for free
+        .crossJoin(F.broadcast(total.select(F.col("pairs").alias("tp"))))
+        .withColumn(
+            "frac_nano",
+            F.floor(F.col("pairs") * F.lit(1000000000) / F.col("tp")),
+        )
+    )
+    eff = (
+        dist.filter(F.col("frac_nano") >= 900000000)
+        .agg(F.min("r").alias("eff_r"))
+    )
+    return (
+        dist.crossJoin(F.broadcast(eff))
+        .select(
+            "r",
+            "pairs",
+            "delta_pairs",
+            "frac_nano",
+            (F.col("r") == F.col("eff_r")).alias("is_eff_diam90"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------

@@ -347,3 +347,21 @@ def test_wl_separates_structure_and_respects_symmetry(spark):
     c = {r.vid: r.color for r in got.itertuples()}
     assert c[0] == c[4] and c[1] == c[3]
     assert len({c[0], c[1], c[2]}) == 3
+
+
+def test_distance_distribution_micro(spark):
+    """The distance-distribution aggregation rule on a 4-path
+    0->1->2->3 with a known distribution: pairs(r) = sum_v N(v,r) =
+    4,7,9,10; floor'd nano fractions; effective diameter (first r
+    covering >= 90%% of reachable pairs) lands on r=2 because
+    9/10 == 90%% exactly."""
+    from pyspark.sql import functions as F
+
+    el = [(0, 1), (1, 2), (2, 3)]
+    balls = exact_balls(edges_df(spark, [(s, d, 1.0) for s, d in el]), 3)
+    per_r = balls.groupBy("r").agg(F.sum("ball").alias("pairs"))
+    rows = {r.r: r.pairs for r in per_r.collect()}
+    assert rows == {0: 4, 1: 7, 2: 9, 3: 10}
+    fr = {r: (rows[r] * 1000000000) // rows[3] for r in rows}
+    assert fr == {0: 400000000, 1: 700000000, 2: 900000000, 3: 1000000000}
+    assert min(r for r in rows if fr[r] >= 900000000) == 2
