@@ -18,7 +18,7 @@ from citation_graph_spark.graph.katz import katz_centrality
 from citation_graph_spark.graph.scc import strongly_connected_components
 from citation_graph_spark.graph.anf import exact_balls, hyperball
 from citation_graph_spark.graph.louvain import louvain_local_moves
-from citation_graph_spark.graph.walks import deterministic_walks
+from citation_graph_spark.graph.walks import deterministic_walks, neighbor_sample
 from citation_graph_spark.graph.wl import wl_refinement
 
 __all__ = [
@@ -44,5 +44,6 @@ __all__ = [
     "hyperball",
     "louvain_local_moves",
     "deterministic_walks",
+    "neighbor_sample",
     "wl_refinement",
 ]

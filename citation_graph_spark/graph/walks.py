@@ -108,3 +108,69 @@ def deterministic_walks(
                 out = out.unionByName(frontier)
         e.unpersist()
         return out.select("wid", "step", F.col("v").alias("vid"))
+
+
+def neighbor_sample(
+    edges: DataFrame,
+    seeds: DataFrame,
+    fanouts: list[int],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """GraphSAGE-style deterministic multi-hop neighbor sampling —
+    the minibatch-subgraph prep primitive of GNN training pipelines
+    (Hamilton et al. 2017 §3.1, public GraphSAGE). Returns
+    ``(seed, hop, src, dst)`` sampled-adjacency rows: hop h's ``src``
+    set is hop h-1's sampled ``dst`` set (hop 1 starts at the seeds)
+    and every ``src`` keeps its ``fanouts[h-1]`` out-neighbors of
+    lowest priority ``H(src, h, dst)`` (ties by dst) — the same
+    derandomized hash the walks use, so a SQL oracle and a python
+    replay reproduce the sample exactly.
+
+    Per-(vertex, hop) sampling (not per-seed): the sampled adjacency
+    for hop h is computed ONCE per vertex by a src-partitioned window
+    over the edge table, then frontiers equi-join against it — work is
+    O(E) + O(frontier) per hop regardless of how many seeds share a
+    neighborhood, the layer-shared-sample variant GraphSAGE itself
+    uses for minibatch efficiency. Shuffle keys: ``src`` for the
+    window (layout reused from the edge repartition), ``v`` for the
+    frontier join; frontier is distinct-(seed, v) so hop h emits at
+    most Π fanouts rows per seed."""
+    with iterative_kernel_conf(edges.sparkSession):
+        spark = edges.sparkSession
+        e0 = edges.select("src", "dst").distinct().persist()
+        n_edges = e0.count()
+        if num_partitions is None:
+            num_partitions = auto_partitions(spark, n_edges)
+        e = e0.repartition(num_partitions, "src").persist()
+        e.count()
+        e0.unpersist()
+
+        frontier = seeds.select(
+            F.col("vid").alias("seed"), F.col("vid").alias("v")
+        ).distinct()
+        out = None
+        w = Window.partitionBy("src").orderBy("h_pri", "dst")
+        with shuffle_partitions_conf(spark, num_partitions):
+            for hop, fanout in enumerate(fanouts, start=1):
+                samp = (
+                    e.withColumn(
+                        "h_pri",
+                        walk_priority(F.col("src"), F.lit(hop), F.col("dst")),
+                    )
+                    .withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") <= fanout)
+                    .select("src", "dst")
+                )
+                rows = (
+                    frontier.join(samp, frontier["v"] == samp["src"])
+                    .select(
+                        "seed", F.lit(hop).alias("hop"), "src", "dst"
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                out = rows if out is None else out.unionByName(rows)
+                frontier = rows.select(
+                    "seed", F.col("dst").alias("v")
+                ).distinct()
+        e.unpersist()
+        return out

@@ -37,6 +37,7 @@ from citation_graph_spark.graph.walks import (
     WALK_HASH_C,
     WALK_HASH_P,
     deterministic_walks,
+    neighbor_sample,
 )
 from citation_graph_spark.operators import register
 from citation_graph_spark.operators.graphq import (
@@ -198,6 +199,52 @@ def corpus_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return deterministic_walks(
         edges.select("src", "dst"), seeds, steps=_WALK_STEPS
+    )
+
+
+# --------------------------------------------------------------------------
+_NS_FANOUTS = [4, 2]
+_NS_SEED_MOD = 50
+
+
+@register(
+    "corpus_neighbor_sample",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_CTE},
+    ced AS (SELECT DISTINCT src, dst FROM cedges),
+    sd AS (SELECT vid AS seed FROM verts WHERE vid % {_NS_SEED_MOD} = 0),
+    s1 AS (SELECT src, dst FROM (
+        SELECT src, dst, row_number() OVER (
+            PARTITION BY src
+            ORDER BY (src * {WALK_HASH_A} + 1 * {WALK_HASH_B}
+                      + dst * {WALK_HASH_C}) % {WALK_HASH_P}, dst) AS rn
+        FROM ced) t WHERE rn <= {_NS_FANOUTS[0]}),
+    s2 AS (SELECT src, dst FROM (
+        SELECT src, dst, row_number() OVER (
+            PARTITION BY src
+            ORDER BY (src * {WALK_HASH_A} + 2 * {WALK_HASH_B}
+                      + dst * {WALK_HASH_C}) % {WALK_HASH_P}, dst) AS rn
+        FROM ced) t WHERE rn <= {_NS_FANOUTS[1]}),
+    h1 AS (SELECT sd.seed, 1 AS hop, s1.src, s1.dst
+           FROM sd JOIN s1 ON s1.src = sd.seed),
+    f1 AS (SELECT DISTINCT seed, dst AS v FROM h1),
+    h2 AS (SELECT f1.seed, 2 AS hop, s2.src, s2.dst
+           FROM f1 JOIN s2 ON s2.src = f1.v)
+    SELECT * FROM h1 UNION ALL SELECT * FROM h2
+    """,
+)
+def corpus_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style deterministic 2-hop neighbor sampling
+    (graph/walks.py neighbor_sample) with fanouts {_NS_FANOUTS} from
+    every {_NS_SEED_MOD}th vertex — the GNN minibatch-subgraph prep
+    primitive, vs an oracle replaying the identical per-(vertex, hop)
+    hash-ranked sample and frontier joins."""
+    vertices, edges = corpus_tables(spark)
+    seeds = vertices.select("vid").filter(
+        F.col("vid") % _NS_SEED_MOD == 0
+    )
+    return neighbor_sample(
+        edges.select("src", "dst"), seeds, fanouts=_NS_FANOUTS
     )
 
 

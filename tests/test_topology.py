@@ -365,3 +365,68 @@ def test_distance_distribution_micro(spark):
     fr = {r: (rows[r] * 1000000000) // rows[3] for r in rows}
     assert fr == {0: 400000000, 1: 700000000, 2: 900000000, 3: 1000000000}
     assert min(r for r in rows if fr[r] >= 900000000) == 2
+
+
+def ns_replay(seeds, el, fanouts):
+    adj = defaultdict(set)
+    for s, d in el:
+        adj[s].add(d)
+    rows = set()
+    frontier = {(s, s) for s in seeds}
+    for hop, fanout in enumerate(fanouts, start=1):
+        samp = {
+            v: sorted(
+                adj[v],
+                key=lambda w: (
+                    (v * WALK_HASH_A + hop * WALK_HASH_B + w * WALK_HASH_C)
+                    % WALK_HASH_P,
+                    w,
+                ),
+            )[:fanout]
+            for v in adj
+        }
+        new = {
+            (seed, hop, v, w)
+            for seed, v in frontier
+            for w in samp.get(v, ())
+        }
+        rows |= new
+        frontier = {(seed, w) for seed, _, _, w in new}
+    return rows
+
+
+@pytest.mark.parametrize("name", sorted(DG))
+def test_neighbor_sample_matches_replay(spark, name):
+    from citation_graph_spark.graph import neighbor_sample
+
+    n, el = DG[name]
+    seeds = [v for v in range(n) if v % 5 == 0]
+    got = neighbor_sample(
+        edges_df(spark, [(s, d, 1.0) for s, d in el]),
+        vertices_df(spark, n).filter("vid % 5 = 0"),
+        fanouts=[3, 2],
+    ).toPandas()
+    want = ns_replay(seeds, el, [3, 2])
+    assert {
+        (r.seed, r.hop, r.src, r.dst) for r in got.itertuples()
+    } == want
+
+
+def test_neighbor_sample_fanout_bound(spark):
+    """No (seed, hop, src) group may exceed its fanout, and hop h+1
+    sources must be hop h destinations of the same seed."""
+    from citation_graph_spark.graph import neighbor_sample
+
+    n, el = DG["random_200"]
+    got = neighbor_sample(
+        edges_df(spark, [(s, d, 1.0) for s, d in el]),
+        vertices_df(spark, n).filter("vid % 7 = 0"),
+        fanouts=[4, 2],
+    ).toPandas()
+    sizes = got.groupby(["seed", "hop", "src"]).size()
+    for (_, hop, _), k in sizes.items():
+        assert k <= [4, 2][hop - 1]
+    h1 = got[got.hop == 1]
+    h2 = got[got.hop == 2]
+    d1 = {(r.seed, r.dst) for r in h1.itertuples()}
+    assert all((r.seed, r.src) in d1 for r in h2.itertuples())

@@ -59,6 +59,8 @@ AUDIT = [
     ("louvain_round", "one Louvain local-move round: volume/k(v,c) grouped aggs + equi-joins + per-vertex window argmax"),
     ("generation_relax_round", "one condensation-DAG relaxation: equi-join + grouped max + left-join merge"),
     ("corpus_assortativity", "degree assortativity: two degree joins + one global moment agg"),
+    ("corpus_distance_distribution", "ANF rollup: radius-keyed agg + 1-row total/eff-r broadcasts, no real cartesian"),
+    ("corpus_neighbor_sample", "GraphSAGE sampling: per-hop src-window rank + frontier equi-joins, no cartesian"),
     ("wl_round", "one WL refinement round: edges⨝colors equi-join + vertex-keyed multiset-hash sum + merge join"),
 ]
 
