@@ -135,6 +135,8 @@ def neighbor_sample(
     window (layout reused from the edge repartition), ``v`` for the
     frontier join; frontier is distinct-(seed, v) so hop h emits at
     most Π fanouts rows per seed."""
+    if not fanouts:
+        raise ValueError("fanouts must name at least one hop")
     with iterative_kernel_conf(edges.sparkSession):
         spark = edges.sparkSession
         e0 = edges.select("src", "dst").distinct().persist()
@@ -172,5 +174,7 @@ def neighbor_sample(
                 frontier = rows.select(
                     "seed", F.col("dst").alias("v")
                 ).distinct()
+                if frontier.isEmpty():  # every branch hit a sink:
+                    break  # later hops would rank O(E) rows for nothing
         e.unpersist()
         return out

@@ -50,6 +50,9 @@ from citation_graph_spark.operators.graphq import (
 _WALK_STEPS = 6
 _WALK_SEED_MOD = 37
 _BALL_RADIUS = 3
+# the SQL twin of range(_BALL_RADIUS + 1) — interpolated so a radius
+# bump can never desync the oracle's radii from the Spark side's
+_RADII_VALUES = ", ".join(f"({r})" for r in range(_BALL_RADIUS + 1))
 _LOUVAIN_ROUNDS = 2
 
 # SCC of the corpus graph as max-vid labels — the same derivation the
@@ -235,10 +238,10 @@ _NS_SEED_MOD = 50
 )
 def corpus_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style deterministic 2-hop neighbor sampling
-    (graph/walks.py neighbor_sample) with fanouts {_NS_FANOUTS} from
-    every {_NS_SEED_MOD}th vertex — the GNN minibatch-subgraph prep
-    primitive, vs an oracle replaying the identical per-(vertex, hop)
-    hash-ranked sample and frontier joins."""
+    (graph/walks.py neighbor_sample) with fanouts [4, 2] from every
+    50th vertex — the GNN minibatch-subgraph prep primitive, vs an
+    oracle replaying the identical per-(vertex, hop) hash-ranked
+    sample and frontier joins."""
     vertices, edges = corpus_tables(spark)
     seeds = vertices.select("vid").filter(
         F.col("vid") % _NS_SEED_MOD == 0
@@ -319,7 +322,7 @@ def corpus_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM reach r JOIN ced e ON r.u = e.src
       WHERE r.d < {_BALL_RADIUS}
     ),
-    radii(r) AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(r))
+    radii(r) AS (SELECT * FROM (VALUES {_RADII_VALUES}) t(r))
     SELECT reach.v AS vid, radii.r, count(DISTINCT reach.u) AS ball
     FROM reach JOIN radii ON reach.d <= radii.r
     GROUP BY 1, 2
@@ -361,7 +364,7 @@ def corpus_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM reach r JOIN ced e ON r.u = e.src
       WHERE r.d < {_BALL_RADIUS}
     ),
-    radii(r) AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(r)),
+    radii(r) AS (SELECT * FROM (VALUES {_RADII_VALUES}) t(r)),
     per_r AS (
       SELECT radii.r AS r, count(*) AS pairs
       FROM (SELECT v, u, min(d) AS d FROM reach GROUP BY 1, 2) p
@@ -387,16 +390,16 @@ def corpus_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_distance_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance distribution of the directed citation graph for
-    r = 0..3: total reachable (v, u) pairs within r, new pairs at
-    exactly r, cumulative fraction of the radius-{_BALL_RADIUS} total
-    (nano-quantized integer division — identical in both engines), and
-    the interpolation-free effective-diameter flag (first r covering
-    >= 90% of reachable pairs; Boldi & Vigna 2013 §5, the headline
-    statistic HyperBall exists to estimate). Exact twin at oracle
-    scale: aggregates graph/anf.py exact_balls. The 100-TB path is the
-    SAME aggregation over corpus_hyperball's per-vertex HLL estimates
-    (sum of estimates replaces sum of exact balls; shuffle key stays
-    the radius — {_BALL_RADIUS + 1} rows total)."""
+    r = 0.._BALL_RADIUS (3): total reachable (v, u) pairs within r,
+    new pairs at exactly r, cumulative fraction of the max-radius
+    total (nano-quantized integer division — identical in both
+    engines), and the interpolation-free effective-diameter flag
+    (first r covering >= 90% of reachable pairs; Boldi & Vigna 2013
+    §5, the headline statistic HyperBall exists to estimate). Exact
+    twin at oracle scale: aggregates graph/anf.py exact_balls. The
+    100-TB path is the SAME four-row aggregation over
+    corpus_hyperball's per-vertex HLL estimates (sum of estimates
+    replaces sum of exact balls; the shuffle key stays the radius)."""
     _, edges = corpus_tables(spark)
     balls = exact_balls(edges.select("src", "dst"), radius=_BALL_RADIUS)
     per_r = balls.groupBy("r").agg(F.sum("ball").alias("pairs"))

@@ -34,10 +34,12 @@ _CTE_HEAD = re.compile(r"(\w+)\s*(?:\([^)]*\))?\s+AS\s*\(", re.IGNORECASE)
 
 
 def _cte_blocks(sql: str):
-    """Yield (cte_name, body) for every ``name [cols] AS ( body )`` in
-    the statement, via paren matching from each head. Nested CTEs
-    (there are none in the oracles) would simply yield twice, which is
-    fine for a lint."""
+    """Yield (cte_name, body, start, end) for every
+    ``name [cols] AS ( body )`` in the statement, via paren matching
+    from each head — the span comes from the match itself, so
+    identical CTE bodies can't alias each other. Nested CTEs (there
+    are none in the oracles) would simply yield twice, which is fine
+    for a lint."""
     for m in _CTE_HEAD.finditer(sql):
         depth, i = 1, m.end()
         while i < len(sql) and depth:
@@ -46,20 +48,23 @@ def _cte_blocks(sql: str):
             elif sql[i] == ")":
                 depth -= 1
             i += 1
-        yield m.group(1), sql[m.end() : i - 1]
+        yield m.group(1), sql[m.end() : i - 1], m.end(), i - 1
 
 
 def _violations(sql: str) -> list[str]:
     sql = re.sub(r"--[^\n]*", "", sql)  # line comments aren't SQL
     bad = []
     covered: list[tuple[int, int]] = []
-    for name, body in _cte_blocks(sql):
-        start = sql.find(body)
-        covered.append((start, start + len(body)))
+    for name, body, start, end in _cte_blocks(sql):
+        covered.append((start, end))
         if not _BARE_UNION.search(body):
             continue
-        # recursive idiom: the body must mention its own CTE name
-        if not re.search(rf"\b{re.escape(name)}\b", body):
+        # recursive idiom: the body must read FROM/JOIN its own name —
+        # a mere mention (string literal, alias) doesn't make it
+        # recursive, and DuckDB won't dedup its UNION
+        if not re.search(
+            rf"\b(FROM|JOIN)\s+{re.escape(name)}\b", body, re.IGNORECASE
+        ):
             bad.append(name)
     # bare UNION in the final SELECT (outside every CTE body)
     for m in _BARE_UNION.finditer(sql):

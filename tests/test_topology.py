@@ -353,8 +353,8 @@ def test_distance_distribution_micro(spark):
     """The distance-distribution aggregation rule on a 4-path
     0->1->2->3 with a known distribution: pairs(r) = sum_v N(v,r) =
     4,7,9,10; floor'd nano fractions; effective diameter (first r
-    covering >= 90%% of reachable pairs) lands on r=2 because
-    9/10 == 90%% exactly."""
+    covering >= 90% of reachable pairs) lands on r=2 because
+    9/10 == 90% exactly."""
     from pyspark.sql import functions as F
 
     el = [(0, 1), (1, 2), (2, 3)]
