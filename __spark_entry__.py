@@ -52,37 +52,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Driver-gate sampling is first-N in dict order, so front-load the
 # queries whose most recent driver-gate evidence is oldest (never-gated
-# first, then last-seen-r1, r2, r3 — computed from CORRECTNESS_r0{1,2,3}
-# at round-4 start; VERDICT r3 item 4). Queries added later fall to the
-# end of their registration order until this list is refreshed.
+# first, then last-seen-r1 — recomputed from CORRECTNESS_r0{1,2,3} at the
+# round-4 WL-fix refresh; VERDICT r3 item 4). Queries added later fall to
+# the end of their registration order until this list is refreshed.
 _GATE_PRIORITY = [
-    # never-gated: the round-4 kernels added after the r4c local
-    # artifact (bibliometrics pack + k-truss + betweenness)
-    "graph_part_ktruss", "graph_part_betweenness",
-    "corpus_cocitation_incremental",
-    "corpus_scc",
+    # never driver-gated (38, computed from CORRECTNESS_r0{1,2,3} at
+    # this refresh): the WL fix, the two newest topology queries, the
+    # rest of the topology/bibliometrics/curation packs
+    "corpus_wl_refinement", "corpus_distance_distribution",
+    "corpus_neighbor_sample", "corpus_generations", "corpus_random_walks",
+    "corpus_assortativity", "corpus_neighborhood_function",
+    "corpus_hyperball", "graph_part_louvain_move", "graph_part_ktruss",
+    "graph_part_betweenness", "corpus_cocitation_incremental", "corpus_scc",
     "corpus_cocitation", "corpus_bib_coupling", "corpus_link_predict_ra",
     "corpus_neighbor_jaccard", "corpus_katz", "corpus_h_index",
-    "corpus_self_citation",
-    # the corpus pipeline gained SQL oracles mid-round-4 (graphq
-    # _CORPUS_CTE) — no driver gate has ever hash-checked it
-    "corpus_edges", "corpus_pagerank", "corpus_components",
-    "corpus_label_prop", "corpus_triangles",
-    "hdbscan_embedding_ivf", "umap_xy", "doc_repetition",
-    "benchmark_contamination", "docs_without_boilerplate",
+    "corpus_self_citation", "hdbscan_embedding_ivf", "umap_xy",
+    "doc_repetition", "benchmark_contamination", "docs_without_boilerplate",
     "doc_split_assign", "lang_stratified_sample", "lang_id_heuristic",
     "doc_fingerprints", "top_terms_per_lang", "token_histogram",
-    "doc_topics_lda", "doc_topics_nmf", "segment_union_tagged",
-    "building_without_1996_orders", "customers_ordering_and_active",
-    "order_event_totals", "latest_event_per_user_type",
-    "order_price_bands", "normalized_part_names", "customer_uid_sha",
-    "orders_by_month_1996", "docs_mentioning_spark",
-    "top_revenue_customers", "event_sessions", "brand_price_quantiles",
-    "segments_per_nation", "knn_cosine_topk", "ann_sign_lsh",
-    "embedding_centroids", "ann_ivf", "embedding_kmeans",
-    "token_counts", "text_quality", "latest_order_per_customer",
-    "asof_view_before_purchase", "customers_without_big_orders",
-    "brands_with_supply", "nation_trade_pairs", "co_suppliers",
+    "doc_topics_lda", "doc_topics_nmf", "pii_redaction", "doc_chunks",
+    "corpus_mixture", "context_packing", "bpe_pair_counts",
+    # stalest driver rows (last seen r1) to round out the 50-sample
+    "segment_union_tagged", "building_without_1996_orders",
+    "customers_ordering_and_active", "order_event_totals",
+    "latest_event_per_user_type", "order_price_bands",
+    "normalized_part_names", "customer_uid_sha", "orders_by_month_1996",
+    "docs_mentioning_spark", "top_revenue_customers", "event_sessions",
 ]
 
 
