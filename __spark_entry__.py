@@ -59,7 +59,8 @@ _GATE_PRIORITY = [
     # never driver-gated (38, computed from CORRECTNESS_r0{1,2,3} at
     # this refresh): the WL fix, the two newest topology queries, the
     # rest of the topology/bibliometrics/curation packs
-    "corpus_wl_refinement", "corpus_distance_distribution",
+    "corpus_wl_refinement", "graph_part_eigenvector", "graph_part_closeness",
+    "corpus_distance_distribution",
     "corpus_neighbor_sample", "corpus_generations", "corpus_random_walks",
     "corpus_assortativity", "corpus_neighborhood_function",
     "corpus_hyperball", "graph_part_louvain_move", "graph_part_ktruss",

@@ -13,6 +13,7 @@ from citation_graph_spark.graph.traversal import (
 from citation_graph_spark.graph.kcore import k_core
 from citation_graph_spark.graph.ktruss import k_truss
 from citation_graph_spark.graph.betweenness import betweenness_sampled
+from citation_graph_spark.graph.eigenvector import eigenvector_centrality
 from citation_graph_spark.graph.hits import hits
 from citation_graph_spark.graph.katz import katz_centrality
 from citation_graph_spark.graph.scc import strongly_connected_components
@@ -44,6 +45,7 @@ __all__ = [
     "hyperball",
     "louvain_local_moves",
     "deterministic_walks",
+    "eigenvector_centrality",
     "neighbor_sample",
     "wl_refinement",
 ]

@@ -43,6 +43,7 @@ from citation_graph_spark.graph import (
     bfs_per_source,
     betweenness_sampled,
     connected_components,
+    eigenvector_centrality,
     hits,
     k_core,
     k_truss,
@@ -737,6 +738,57 @@ def graph_part_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+@register(
+    "graph_part_closeness",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    walk(s, v, d) AS (
+      SELECT vid, vid, 0 FROM verts WHERE {_SEED_PRED}
+      UNION
+      SELECT walk.s, sym.dst, walk.d + 1
+      FROM walk JOIN sym ON walk.v = sym.src
+      WHERE walk.d < {_HARM_ITERS}
+    ),
+    mind AS (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v)
+    SELECT v AS vid, count(*) AS reached, sum(d) AS sum_dist,
+           count(*) * 1000000 // sum(d) AS closeness_micro
+    FROM mind WHERE d > 0 GROUP BY v
+    """,
+)
+def graph_part_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source closeness centrality — reached-seeds /
+    sum-of-distances per vertex, micro-quantized by integer floor
+    division so the aggregate is exact cross-engine. Same K-sampled
+    BFS machinery and 6-round cap as graph_part_harmonic (harmonic is
+    the disconnected-safe variant; closeness is the classic form users
+    of a Neo4j-style serving layer expect alongside it)."""
+    edges = part_graph_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    seeds = verts.filter(F.col("vid") % 100 == 0)
+    d = bfs_per_source(edges, seeds, max_iter=_HARM_ITERS)
+    return (
+        d.filter(F.col("dist") > 0)
+        .groupBy("vid")
+        .agg(
+            F.count(F.lit(1)).alias("reached"),
+            F.sum("dist").alias("sum_dist"),
+        )
+        .select(
+            "vid",
+            "reached",
+            "sum_dist",
+            F.expr("div(reached * 1000000, sum_dist)").alias(
+                "closeness_micro"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 _SSSP_ITERS = 12
 
 
@@ -802,6 +854,41 @@ def graph_part_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = verts.filter(F.col("vid") % 100 == 0)
     return sssp(wedges, seeds, max_iter=_SSSP_ITERS, directed=False)
+
+
+# --------------------------------------------------------------------------
+_EV_ITERS = 10
+
+
+@register(
+    "graph_part_eigenvector",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    evsym AS (SELECT src, dst FROM sym
+              UNION ALL SELECT vid, vid FROM verts),
+    ev(it, v, x) AS (
+      SELECT 0, vid, CAST(1000000 AS BIGINT) FROM verts
+      UNION ALL
+      SELECT z.it, z.v,
+             CAST(z.y * 1000000 // max(z.y) OVER () AS BIGINT)
+      FROM (
+        SELECT w.it + 1 AS it, s.src AS v, sum(w.x) AS y
+        FROM ev w JOIN evsym s ON w.v = s.dst
+        WHERE w.it < {_EV_ITERS}
+        GROUP BY 1, 2
+      ) z
+    )
+    SELECT v AS vid, x AS score_ppm FROM ev WHERE it = {_EV_ITERS}
+    """,
+)
+def graph_part_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality of the part co-order graph: 10 rounds of
+    shifted (A + I) integer power iteration, each round rescaled to
+    ppm of its max (graph/eigenvector.py — int64 sums and
+    floor-division only, so the recursive-CTE oracle replays every
+    round bit-exactly; no float normalization to diverge)."""
+    edges = part_graph_edges(spark, sf_dir).select("src", "dst")
+    return eigenvector_centrality(edges, max_iter=_EV_ITERS)
 
 
 # --------------------------------------------------------------------------

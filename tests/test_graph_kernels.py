@@ -212,3 +212,69 @@ def test_modularity_invariants(spark):
     assert sum(r["intra_edges"] for r in rows) <= m
     q = sum(r["q_nano"] for r in rows) / 1e9
     assert 0.0 < q <= 1.0, q
+
+
+def ev_replay(el, iters, scale=1000000):
+    """Python replay of the shifted integer power iteration."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in el:
+        adj[s].add(d)
+        adj[d].add(s)
+    x = {v: scale for v in adj}
+    for _ in range(iters):
+        y = {v: x[v] + sum(x[u] for u in adj[v]) for v in adj}
+        m = max(y.values())
+        if m == 0:
+            return {v: 0 for v in adj}
+        x = {v: (y[v] * scale) // m for v in adj}
+    return x
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_eigenvector_matches_replay(spark, name):
+    from citation_graph_spark.graph import eigenvector_centrality
+
+    n, el = GRAPHS[name]
+    got = eigenvector_centrality(
+        edges_df(spark, [(s, d, 1.0) for s, d in el]), max_iter=8
+    ).toPandas()
+    want = ev_replay(el, 8)
+    assert {(r.vid, r.score_ppm) for r in got.itertuples()} == set(
+        want.items()
+    )
+
+
+def test_eigenvector_path_converges_to_perron(spark):
+    """P3's Perron vector is (1, sqrt(2), 1)/|.|: leaves must settle
+    near 0.7071e6 of the center — pure (unshifted) power iteration
+    oscillates between 0.5e6 and 1e6 forever on this bipartite graph,
+    so this pins that the A + I shift actually converges."""
+    from citation_graph_spark.graph import eigenvector_centrality
+
+    got = {
+        r.vid: r.score_ppm
+        for r in eigenvector_centrality(
+            edges_df(spark, [(0, 1, 1.0), (1, 2, 1.0)]), max_iter=20
+        ).collect()
+    }
+    assert got[1] == 1000000
+    assert abs(got[0] - 707106) < 500 and got[0] == got[2]
+
+
+def test_eigenvector_rejects_nothing_but_handles_isolated(spark):
+    """A vertex with no edges never enters the edge table, so the
+    kernel's vertex set is edge-derived; a two-component graph keeps
+    both components alive and scales each to the global max."""
+    from citation_graph_spark.graph import eigenvector_centrality
+
+    el = [(0, 1), (1, 2), (0, 2), (10, 11)]  # triangle + lone edge
+    got = {
+        r.vid: r.score_ppm
+        for r in eigenvector_centrality(
+            edges_df(spark, [(s, d, 1.0) for s, d in el]), max_iter=10
+        ).collect()
+    }
+    assert got[0] == got[1] == got[2] == 1000000  # symmetric triangle
+    assert 0 < got[10] == got[11] < 1000000  # dominated, not dropped
