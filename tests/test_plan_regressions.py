@@ -514,3 +514,30 @@ def test_wl_round_shape(spark):
         s = plan_stats(wl_round_lineage(sym, colors))
     assert s["cartesian"] == 0
     assert s["exchanges"] <= 8
+
+
+def test_eigenvector_round_shape(spark):
+    # one shifted power-iteration round: edges⨝state equi-join +
+    # vertex-keyed int64 sum — identical discipline to wl_round
+    from citation_graph_spark.graph.eigenvector import (
+        eigenvector_round_lineage,
+    )
+
+    sym2 = (
+        spark.createDataFrame(
+            [(1, 2), (2, 1), (1, 1), (2, 2)], "src long, dst long"
+        )
+        .repartition(4, "src")
+        .localCheckpoint(eager=True)
+    )
+    x = (
+        spark.createDataFrame(
+            [(1, 1000000), (2, 1000000)], "vid long, x long"
+        )
+        .repartition(4, "vid")
+        .localCheckpoint(eager=True)
+    )
+    with static_plans(spark):
+        s = plan_stats(eigenvector_round_lineage(sym2, x))
+    assert s["cartesian"] == 0
+    assert s["exchanges"] <= 6

@@ -62,6 +62,8 @@ AUDIT = [
     ("corpus_distance_distribution", "ANF rollup: radius-keyed agg + 1-row total/eff-r broadcasts, no real cartesian"),
     ("corpus_neighbor_sample", "GraphSAGE sampling: per-hop src-window rank + frontier equi-joins, no cartesian"),
     ("wl_round", "one WL refinement round: edges⨝colors equi-join + vertex-keyed multiset-hash sum + merge join"),
+    ("ev_round", "one eigenvector power round: edges⨝state equi-join + vertex-keyed int64 sum"),
+    ("graph_part_closeness", "sampled closeness: per-source BFS + reached/sum-dist agg, integer division"),
 ]
 
 
@@ -212,6 +214,18 @@ def _lineage(spark, name: str):
             [(1, 1), (2, 2), (3, 1)], "vid long, color long"
         ).repartition(4, "vid").localCheckpoint(eager=True)
         return wl_round_lineage(sym, colors)
+    if name == "ev_round":
+        from citation_graph_spark.graph.eigenvector import (
+            eigenvector_round_lineage,
+        )
+
+        sym2 = spark.createDataFrame(
+            [(1, 2), (2, 1), (1, 1), (2, 2)], "src long, dst long"
+        ).repartition(4, "src").localCheckpoint(eager=True)
+        x = spark.createDataFrame(
+            [(1, 1000000), (2, 1000000)], "vid long, x long"
+        ).repartition(4, "vid").localCheckpoint(eager=True)
+        return eigenvector_round_lineage(sym2, x)
     if name == "benchmark_contamination":
         from citation_graph_spark.operators.dedup import (
             _shingles,
