@@ -43,10 +43,14 @@ without a second join.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from citation_graph_spark.checkpointing import CheckpointManager
 from citation_graph_spark.graph.degrees import auto_partitions, undirect
+from citation_graph_spark.metrics import MetricsLogger
 from citation_graph_spark.session import (
     iterative_kernel_conf,
     shuffle_partitions_conf,
@@ -75,12 +79,29 @@ def eigenvector_centrality(
     edges: DataFrame,
     max_iter: int = 10,
     num_partitions: int | None = None,
+    metrics_path: str | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 4,
+    resume: bool = False,
 ) -> DataFrame:
     """``(vid, score_ppm)`` after ``max_iter`` integer-rescaled power
     iteration rounds on the undirected simple graph of ``edges``;
-    score_ppm ∈ [0, 10^6] with the max vertex pinned at 10^6."""
+    score_ppm ∈ [0, 10^6] with the max vertex pinned at 10^6.
+
+    ``checkpoint_dir`` persists ``(vid, x)`` every
+    ``checkpoint_interval`` rounds (CheckpointManager manifest);
+    ``resume=True`` continues from the newest snapshot with
+    bit-identical final scores — the state is int64, so the parquet
+    round-trip is exact by construction (stronger than the
+    double-precision kernels' IEEE-round-trip argument)."""
     with iterative_kernel_conf(edges.sparkSession):
         spark = edges.sparkSession
+        metrics = MetricsLogger(metrics_path, "eigenvector")
+        ckpt = (
+            CheckpointManager(checkpoint_dir, "eigenvector")
+            if checkpoint_dir
+            else None
+        )
         sym = undirect(edges.select("src", "dst"))
         verts = sym.select(F.col("src").alias("vid")).distinct()
         sym2 = sym.unionByName(
@@ -91,16 +112,38 @@ def eigenvector_centrality(
         n_edges = sym2.count()
         if num_partitions is None:
             num_partitions = auto_partitions(spark, n_edges)
-        x = (
-            verts.select("vid", F.lit(EV_SCALE).cast("long").alias("x"))
-            .repartition(num_partitions, "vid")
-            .localCheckpoint(eager=True)
-        )
+
+        start_iter = 0
+        x = None
+        if ckpt and resume:
+            loaded = ckpt.load(spark)
+            if loaded is not None:
+                saved, manifest = loaded
+                start_iter = manifest["iteration"]
+                x = (
+                    saved.select("vid", "x")
+                    .repartition(num_partitions, "vid")
+                    .localCheckpoint(eager=True)
+                )
+                if start_iter >= max_iter:
+                    sym2.unpersist()
+                    return x.select("vid", F.col("x").alias("score_ppm"))
+        if x is None:
+            x = (
+                verts.select(
+                    "vid", F.lit(EV_SCALE).cast("long").alias("x")
+                )
+                .repartition(num_partitions, "vid")
+                .localCheckpoint(eager=True)
+            )
+
         with shuffle_partitions_conf(spark, num_partitions):
-            for _ in range(max_iter):
+            for it in range(start_iter + 1, max_iter + 1):
+                t0 = time.monotonic()
                 y = eigenvector_round_lineage(sym2, x)
                 m = y.agg(F.max("y")).first()[0]  # scalar-only collect
                 if not m:  # edgeless graph: all mass is gone, stop
+                    sym2.unpersist()
                     return x.select(
                         "vid", F.lit(0).cast("long").alias("score_ppm")
                     )
@@ -112,5 +155,15 @@ def eigenvector_centrality(
                     .repartition(num_partitions, "vid")
                     .localCheckpoint(eager=True)
                 )
+                metrics.log(
+                    it,
+                    wall_s=round(time.monotonic() - t0, 4),
+                    msgs=n_edges,
+                    max_y=int(m),
+                )
+                if ckpt and (
+                    it % checkpoint_interval == 0 or it == max_iter
+                ):
+                    ckpt.save(x, it, meta={"max_iter": max_iter})
         sym2.unpersist()
         return x.select("vid", F.col("x").alias("score_ppm"))

@@ -155,3 +155,42 @@ def test_louvain_kill_resume_identical(spark, tmp_path):
     # integer community ids round-trip exactly; the synchronous rounds
     # are deterministic, so the resumed fixpoint is bit-identical
     assert resumed == full
+
+
+def test_eigenvector_kill_resume_identical(spark, tmp_path):
+    from citation_graph_spark.graph import eigenvector_centrality
+
+    el = random_graph(300, 1500, seed=7)
+    edges = edges_df(spark, el)
+
+    full = (
+        eigenvector_centrality(edges, max_iter=6)
+        .orderBy("vid")
+        .toPandas()["score_ppm"]
+        .to_numpy()
+    )
+    ck = str(tmp_path / "ck")
+    eigenvector_centrality(
+        edges, max_iter=3, checkpoint_dir=ck, checkpoint_interval=2
+    )
+    resumed = (
+        eigenvector_centrality(
+            edges, max_iter=6, checkpoint_dir=ck, resume=True
+        )
+        .orderBy("vid")
+        .toPandas()["score_ppm"]
+        .to_numpy()
+    )
+    # int64 state round-trips parquet exactly; identical remaining
+    # schedule => bit-identical, not merely allclose
+    assert (full == resumed).all()
+
+    again = (
+        eigenvector_centrality(
+            edges, max_iter=6, checkpoint_dir=ck, resume=True
+        )
+        .orderBy("vid")
+        .toPandas()["score_ppm"]
+        .to_numpy()
+    )
+    assert (again == resumed).all()
