@@ -60,6 +60,7 @@ _GATE_PRIORITY = [
     # this refresh): the WL fix, the two newest topology queries, the
     # rest of the topology/bibliometrics/curation packs
     "corpus_wl_refinement", "graph_part_eigenvector", "graph_part_closeness",
+    "corpus_eigenvector",
     "corpus_distance_distribution",
     "corpus_neighbor_sample", "corpus_generations", "corpus_random_walks",
     "corpus_assortativity", "corpus_neighborhood_function",

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from citation_graph_spark.graph import (
+    eigenvector_centrality,
     katz_centrality,
     strongly_connected_components,
     undirect,
@@ -50,6 +51,7 @@ from citation_graph_spark.operators.graphq import _CORPUS_CTE, corpus_tables
 
 _KATZ_ALPHA = 0.001
 _KATZ_ITERS = 8
+_EV_ITERS = 10
 
 
 def _dedges(spark: SparkSession) -> DataFrame:
@@ -292,6 +294,43 @@ def corpus_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("score") * 1000000000 + F.lit(0.5))
         .cast("long")
         .alias("score_nano"),
+    )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "corpus_eigenvector",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_CTE},
+    evv AS (SELECT DISTINCT src AS vid FROM csym),
+    evsym AS (SELECT src, dst FROM csym
+              UNION ALL SELECT vid, vid FROM evv),
+    ev(it, v, x) AS (
+      SELECT 0, vid, CAST(1000000 AS BIGINT) FROM evv
+      UNION ALL
+      SELECT z.it, z.v,
+             CAST(z.y * 1000000 // max(z.y) OVER () AS BIGINT)
+      FROM (
+        SELECT w.it + 1 AS it, s.src AS v, sum(w.x) AS y
+        FROM ev w JOIN evsym s ON w.v = s.dst
+        WHERE w.it < {_EV_ITERS}
+        GROUP BY 1, 2
+      ) z
+    )
+    SELECT v AS vid, x AS score_ppm FROM ev WHERE it = {_EV_ITERS}
+    """,
+)
+def corpus_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality on the undirected citation graph —
+    Bonacich prestige, the family the reference proxies through
+    citation counts; 10 rounds of the shifted (A + I) integer power
+    iteration (graph/eigenvector.py), replayed bit-exactly by the
+    recursive-CTE oracle. The oracle's vertex set is edge-derived
+    (evv), exactly like the kernel's — a citation-isolated document
+    has no eigenvector score in either engine."""
+    _, edges = corpus_tables(spark)
+    return eigenvector_centrality(
+        edges.select("src", "dst"), max_iter=_EV_ITERS
     )
 
 
