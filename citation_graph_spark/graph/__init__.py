@@ -3,7 +3,7 @@ from citation_graph_spark.graph.degrees import out_degrees, in_degrees, undirect
 from citation_graph_spark.graph.pagerank import pagerank
 from citation_graph_spark.graph.components import connected_components
 from citation_graph_spark.graph.communities import label_propagation
-from citation_graph_spark.graph.triangles import triangle_counts
+from citation_graph_spark.graph.triangles import four_clique_counts, triangle_counts
 from citation_graph_spark.graph.traversal import (
     bfs_distances,
     bfs_per_source,
@@ -30,6 +30,7 @@ __all__ = [
     "pagerank",
     "connected_components",
     "label_propagation",
+    "four_clique_counts",
     "triangle_counts",
     "bfs_distances",
     "bfs_per_source",

@@ -92,3 +92,70 @@ def triangle_counts(
             .select("vid", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
         )
     return counts
+
+
+def four_clique_counts(
+    edges: DataFrame, vertices: DataFrame | None = None
+) -> DataFrame:
+    """Per-vertex 4-clique counts — kClist-style ordered expansion
+    (Chiba–Nishizeki / Danisch et al. 2018) over the degree-oriented
+    DAG. Each clique {a,b,c,d} has exactly one (deg, vid)-rank order
+    a→b→c→d with all 6 edges in the oriented graph, so it is listed
+    exactly once:
+
+    1. DAG triangles (a,b,c): out-wedges from a common source joined
+       against the oriented closure b→c (fan-out bounded by oriented
+       out-degree — the same hub-skew mitigation as triangle_counts);
+    2. extend by c's out-neighbors d, then close with the two
+       remaining edge checks (b,d) and (a,d) — equi-joins on the edge
+       pair, never a cartesian candidate set.
+
+    Returns ``(vid, n_four_cliques)``; Σ = 4 × global 4-clique count.
+    """
+    o = oriented_edges(edges).persist()
+    o.count()
+
+    ab = o.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    ac = o.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    # DAG-ordered wedges a→b, a→c need b→c oriented — keep only that
+    # direction (unlike triangle_counts' undirected closure) so the
+    # triangle row is rank-ordered and each clique expands once
+    bc = o.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    # merge hints, same rationale as triangle_counts: wedge/closure
+    # joins grow super-linearly in hub degree; sort-merge spills where
+    # a shuffled-hash build side OOMs at link-graph scale
+    tri = (
+        ab.hint("merge")
+        .join(ac, "a")
+        .hint("merge")
+        .join(bc, ["b", "c"])
+    )
+    cd = o.select(F.col("u").alias("c"), F.col("v").alias("d"))
+    bd = o.select(F.col("u").alias("b"), F.col("v").alias("d"))
+    ad = o.select(F.col("u").alias("a"), F.col("v").alias("d"))
+    quads = (
+        tri.hint("merge")
+        .join(cd, "c")
+        .hint("merge")
+        .join(bd, ["b", "d"])
+        .hint("merge")
+        .join(ad, ["a", "d"])
+    )
+    corners = (
+        quads.select(F.col("a").alias("vid"))
+        .unionByName(quads.select(F.col("b").alias("vid")))
+        .unionByName(quads.select(F.col("c").alias("vid")))
+        .unionByName(quads.select(F.col("d").alias("vid")))
+    )
+    counts = corners.groupBy("vid").agg(F.count(F.lit(1)).alias("n_four_cliques"))
+    if vertices is not None:
+        counts = (
+            vertices.select("vid")
+            .join(counts, "vid", "left")
+            .select(
+                "vid", F.coalesce("n_four_cliques", F.lit(0)).alias("n_four_cliques")
+            )
+        )
+    counts = counts.localCheckpoint(eager=True)
+    o.unpersist()
+    return counts

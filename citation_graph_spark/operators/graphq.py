@@ -1307,3 +1307,59 @@ def graph_part_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_nano.alias("q_nano"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 4-clique counting — the next rung of the triangle family (J11 wedge →
+# triangle → k-clique ordered expansion). Oracle: the same degree
+# orientation spelled as SQL, with the clique's unique rank order
+# enumerated by a 6-edge join.
+@register(
+    "graph_part_four_cliques",
+    oracle=f"""
+    WITH {_GRAPH_CTE},
+    deg AS (SELECT src AS vid, count(*) AS deg FROM sym GROUP BY src),
+    o AS (
+      SELECT CASE WHEN da.deg < db.deg
+                    OR (da.deg = db.deg AND e.src < e.dst)
+                  THEN e.src ELSE e.dst END AS u,
+             CASE WHEN da.deg < db.deg
+                    OR (da.deg = db.deg AND e.src < e.dst)
+                  THEN e.dst ELSE e.src END AS v
+      FROM edges e JOIN deg da ON e.src = da.vid
+                   JOIN deg db ON e.dst = db.vid
+    ),
+    quads AS (
+      SELECT ab.u AS a, ab.v AS b, bc.v AS c, cd.v AS d
+      FROM o ab
+      JOIN o ac ON ac.u = ab.u
+      JOIN o bc ON bc.u = ab.v AND bc.v = ac.v
+      JOIN o cd ON cd.u = bc.v
+      JOIN o bd ON bd.u = ab.v AND bd.v = cd.v
+      JOIN o ad ON ad.u = ab.u AND ad.v = cd.v
+    ),
+    corners AS (
+      SELECT a AS vid FROM quads UNION ALL SELECT b FROM quads
+      UNION ALL SELECT c FROM quads UNION ALL SELECT d FROM quads
+    ),
+    cnt AS (SELECT vid, count(*) AS n_four_cliques FROM corners GROUP BY vid)
+    SELECT v.vid, cast(coalesce(cnt.n_four_cliques, 0) AS BIGINT)
+             AS n_four_cliques
+    FROM verts v LEFT JOIN cnt USING (vid)
+    """,
+)
+def graph_part_four_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex 4-clique counts on the co-order part graph — kClist
+    ordered expansion over the degree-oriented DAG (see
+    graph/triangles.py:four_clique_counts for the join shape and skew
+    bound). Extends graph_part_triangles one clique size up; dense
+    same-brand order groups are exactly where 4-cliques live."""
+    from citation_graph_spark.graph.triangles import four_clique_counts
+
+    edges = part_graph_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    return four_clique_counts(edges, vertices=verts)

@@ -871,3 +871,76 @@ def segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("c_mktsegment").alias("n_segments"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# OLAP rollup — multi-level grouping-sets aggregate (region > nation >
+# grand total) in ONE pass, the cube/report shape every warehouse
+# serving layer needs. Generalizes the reference's per-level report
+# loops (scripts/serp_data_processor.py:69-96 recomputes each rollup
+# level with a separate pandas pass) into a single grouping-sets scan.
+@register(
+    "revenue_rollup",
+    oracle="""
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(n_name, 'ALL') AS nation,
+           cast(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS lvl,
+           count(*) AS n_orders,
+           sum(cast(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+             AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order count + exact-cents revenue by region, by (region,
+    nation), and the grand total — one ``rollup()`` scan instead of
+    three groupBys. ``lvl`` is built from per-column ``grouping()``
+    bits (order-explicit on both engines; raw GROUPING_ID bit order is
+    engine-defined) and rolled-up keys are coalesced to a sentinel so
+    the hash never compares engine NULL encodings.
+
+    Scale shape: Catalyst expands rollup into a single Expand +
+    hash-aggregate — each input row fans out to its 3 grouping sets
+    map-side and partially aggregates before the one shuffle; the dims
+    (nation, region) broadcast. At 100 TB this is one fact-table scan
+    + one small shuffle of per-(set, key) partials."""
+    t = load_tables(spark, sf_dir)
+    joined = (
+        t["orders"]
+        .join(
+            # customer scales with the fact side — shuffle join (AQE
+            # may still broadcast at small SF); only the true dims
+            # below get the explicit broadcast
+            t["customer"].select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_regionkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"].select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            (F.grouping("r_name") * 2 + F.grouping("n_name"))
+            .cast("long")
+            .alias("lvl"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(_cents(F.col("o_totalprice"))) / 100.0).alias("revenue"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "lvl",
+            "n_orders",
+            "revenue",
+        )
+    )

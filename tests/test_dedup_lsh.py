@@ -66,3 +66,46 @@ def test_simhash_pairs_banding_is_lossless(duck, spark):
         for r in operators.QUERIES["dedup_simhash_pairs"](spark, SF_DIR).collect()
     }
     assert banded == set(brute)
+
+
+def test_span_dedup_flags_shared_spans_only(spark):
+    """Two docs embed the same 7-token span inside unique text; a third
+    shares nothing. Exactly the shared positions flag; short docs get
+    zero spans and keep=1."""
+    from citation_graph_spark.operators.dedup import span_dedup_scores
+
+    boiler = "all rights reserved see license file for"  # 7 tokens
+    rows = [
+        (1, "alpha beta gamma " + boiler + " delta epsilon"),  # 12 tok
+        (2, boiler + " zeta eta theta iota kappa"),  # 12 tok
+        (3, "one two three four five six seven eight nine"),  # 9 tok
+        (4, "too short"),  # < K tokens -> zero spans
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in span_dedup_scores(df).collect()
+    }
+    # doc 1: 12-6=6 spans, exactly 1 flagged (the boilerplate span)
+    assert got[1]["n_spans"] == 6 and got[1]["n_flagged"] == 1
+    assert got[2]["n_spans"] == 6 and got[2]["n_flagged"] == 1
+    assert got[3]["n_spans"] == 3 and got[3]["n_flagged"] == 0
+    assert got[4] == {
+        "doc_id": 4, "n_spans": 0, "n_flagged": 0, "flagged_r4": 0, "keep": 1,
+    }
+    # ratio quantization: 1/6 -> floor(1666.66 + .5) = 1667
+    assert got[1]["flagged_r4"] == 1667 and got[1]["keep"] == 1
+
+
+def test_span_dedup_drops_fully_duplicated_doc(spark):
+    from citation_graph_spark.operators.dedup import span_dedup_scores
+
+    text = "the quick brown fox jumps over the lazy dog again"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely different words here x y z q")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict() for r in span_dedup_scores(df).collect()}
+    assert got[1]["flagged_r4"] == 10000 and got[1]["keep"] == 0
+    assert got[2]["keep"] == 0
+    assert got[3]["n_flagged"] == 0 and got[3]["keep"] == 1

@@ -278,3 +278,61 @@ def test_eigenvector_rejects_nothing_but_handles_isolated(spark):
     }
     assert got[0] == got[1] == got[2] == 1000000  # symmetric triangle
     assert 0 < got[10] == got[11] < 1000000  # dominated, not dropped
+
+
+# ---------------------------------------------------------------- 4-cliques
+def _four_cliques_oracle(n, edge_list):
+    """Edge-based enumeration (a<b<c<d, common-neighbor intersection):
+    per-vertex 4-clique membership counts."""
+    adj = [set() for _ in range(n)]
+    for s, d in edge_list:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    counts = [0] * n
+    for a in range(n):
+        for b in (x for x in adj[a] if x > a):
+            common_ab = adj[a] & adj[b]
+            for c in (x for x in common_ab if x > b):
+                for d in (x for x in common_ab & adj[c] if x > c):
+                    for v in (a, b, c, d):
+                        counts[v] += 1
+    return counts
+
+
+def test_four_cliques_k5(spark):
+    """K5: C(5,4)=5 cliques, every vertex in C(4,3)=4 of them."""
+    from citation_graph_spark.graph import four_clique_counts
+    import itertools
+
+    el = list(itertools.combinations(range(5), 2))
+    got = (
+        four_clique_counts(edges_df(spark, el), vertices_df(spark, 5))
+        .orderBy("vid")
+        .toPandas()["n_four_cliques"]
+        .tolist()
+    )
+    assert got == [4, 4, 4, 4, 4]
+
+
+def test_four_cliques_triangle_only_is_zero(spark):
+    from citation_graph_spark.graph import four_clique_counts
+
+    n, el = MICRO_GRAPHS["triangle_pendant"]
+    got = four_clique_counts(edges_df(spark, el), vertices_df(spark, n)).toPandas()
+    assert got["n_four_cliques"].sum() == 0
+
+
+@pytest.mark.parametrize("name", ["random_200", "random_500_skew"])
+def test_four_cliques_match_oracle(spark, name):
+    from citation_graph_spark.graph import four_clique_counts
+
+    n, el = GRAPHS[name]
+    got = (
+        four_clique_counts(edges_df(spark, el), vertices_df(spark, n))
+        .orderBy("vid")
+        .toPandas()["n_four_cliques"]
+        .tolist()
+    )
+    assert got == _four_cliques_oracle(n, el)
+    assert sum(got) % 4 == 0
