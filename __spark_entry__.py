@@ -56,9 +56,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-4 WL-fix refresh; VERDICT r3 item 4). Queries added later fall to
 # the end of their registration order until this list is refreshed.
 _GATE_PRIORITY = [
-    # never driver-gated (38, computed from CORRECTNESS_r0{1,2,3} at
-    # this refresh): the WL fix, the two newest topology queries, the
-    # rest of the topology/bibliometrics/curation packs
+    # never driver-gated (computed from CORRECTNESS_r0{1,2,3} at the
+    # round-4 WL-fix refresh; the newest additions prepended since):
+    # the WL fix, the newest operators, the rest of the
+    # topology/bibliometrics/curation packs
+    "graph_part_four_cliques", "span_dedup_ngram", "revenue_rollup",
     "corpus_wl_refinement", "graph_part_eigenvector", "graph_part_closeness",
     "corpus_eigenvector",
     "corpus_distance_distribution",

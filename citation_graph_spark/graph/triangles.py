@@ -114,7 +114,15 @@ def four_clique_counts(
     """
     o = oriented_edges(edges).persist()
     o.count()
+    counts = four_clique_lineage(o, vertices).localCheckpoint(eager=True)
+    o.unpersist()
+    return counts
 
+
+def four_clique_lineage(o: DataFrame, vertices: DataFrame | None = None) -> DataFrame:
+    """The un-checkpointed 4-clique count plan over already-oriented
+    edges ``(u, v)`` — exposed so the plan audit / regressions can pin
+    the join shape the public function materializes."""
     ab = o.select(F.col("u").alias("a"), F.col("v").alias("b"))
     ac = o.select(F.col("u").alias("a"), F.col("v").alias("c"))
     # DAG-ordered wedges a→b, a→c need b→c oriented — keep only that
@@ -156,6 +164,4 @@ def four_clique_counts(
                 "vid", F.coalesce("n_four_cliques", F.lit(0)).alias("n_four_cliques")
             )
         )
-    counts = counts.localCheckpoint(eager=True)
-    o.unpersist()
     return counts

@@ -541,3 +541,50 @@ def test_eigenvector_round_shape(spark):
         s = plan_stats(eigenvector_round_lineage(sym2, x))
     assert s["cartesian"] == 0
     assert s["exchanges"] <= 6
+
+
+def test_four_clique_lineage_equi_joins_no_cartesian(spark):
+    # kClist ordered expansion: every clique-edge check must be a keyed
+    # join on the oriented DAG — a CartesianProduct / nested-loop here
+    # means the candidate set exploded to all 4-tuples
+    from citation_graph_spark.graph.triangles import (
+        four_clique_lineage,
+        oriented_edges,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (1, 4), (2, 4)], "src long, dst long"
+    )
+    with static_plans(spark):
+        s = plan_stats(four_clique_lineage(oriented_edges(edges)))
+    assert s["cartesian"] == 0
+    # all six edge relations join merge-hinted (hub-skew spill safety)
+    assert s["shuffled_hash_joins"] == 0
+    assert s["sort_merge_joins"] >= 5
+
+
+def test_span_dedup_bounded_shuffles_no_self_join(stats):
+    # one gram explode, pre-aggregated per (doc_id, gram), ONE
+    # gram-keyed shuffle for corpus counts, doc_id-keyed shuffles back:
+    # no cartesian, no candidate self-join blowup
+    s = stats("span_dedup_ngram")
+    assert s["cartesian"] == 0
+    assert s["exchanges"] <= 10
+    # the gram⨝corpus-count and final doc_id joins are keyed (small-SF
+    # size estimates may broadcast them; either physical choice is keyed)
+    assert s["sort_merge_joins"] + s["shuffled_hash_joins"] + s["broadcast_joins"] <= 4
+
+
+def test_revenue_rollup_one_expand_dims_broadcast(stats):
+    # grouping sets compile to a single Expand + hash aggregate; the
+    # two true dims broadcast; only customer⨝orders and the aggregate
+    # may shuffle
+    import re
+
+    s = stats("revenue_rollup")
+    # exactly one Expand node (formatted plans print each node twice:
+    # tree line + detail line — match the numbered detail header)
+    assert len(re.findall(r"^\(\d+\) Expand", s["formatted"], re.M)) == 1
+    assert s["broadcast_joins"] >= 2
+    assert s["cartesian"] == 0
+    assert s["exchanges"] <= 5

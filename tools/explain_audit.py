@@ -64,6 +64,9 @@ AUDIT = [
     ("wl_round", "one WL refinement round: edges⨝colors equi-join + vertex-keyed multiset-hash sum + merge join"),
     ("ev_round", "one eigenvector power round: edges⨝state equi-join + vertex-keyed int64 sum"),
     ("graph_part_closeness", "sampled closeness: per-source BFS + reached/sum-dist agg, integer division"),
+    ("four_clique_lineage", "kClist ordered expansion: 6 equi-joins over the oriented DAG, no cartesian"),
+    ("span_dedup_ngram", "span-level exact-substring dedup: gram explode + map-side-combined counts, gram/doc_id keyed shuffles only"),
+    ("revenue_rollup", "grouping-sets rollup: one Expand + hash-aggregate pass, dims broadcast"),
 ]
 
 
@@ -235,6 +238,18 @@ def _lineage(spark, name: str):
         return contamination_lineage(
             _shingles(load_tables(spark, SF_DIR)["documents"])
         )
+    if name == "four_clique_lineage":
+        from pyspark.sql import functions as F
+
+        from citation_graph_spark.graph.triangles import (
+            four_clique_lineage,
+            oriented_edges,
+        )
+        from citation_graph_spark.operators.graphq import part_graph_edges
+
+        edges = part_graph_edges(spark, SF_DIR)
+        verts = edges.select(F.col("src").alias("vid")).distinct()
+        return four_clique_lineage(oriented_edges(edges), vertices=verts)
     return None
 
 
