@@ -581,3 +581,75 @@ def corpus_cocitation_incremental(
     return incremental_cocitation(old_counts, old_edges, new_edges).filter(
         F.col("cocite_count") >= 2
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "corpus_link_predict_cn",
+    oracle=f"""
+    WITH {_CORPUS_CTE},
+    deg AS (SELECT src AS v, count(*) AS degree FROM csym GROUP BY src),
+    wedge AS (
+      SELECT x1.dst AS a, x2.dst AS b, count(*) AS cn
+      FROM csym x1 JOIN csym x2 ON x1.src = x2.src AND x1.dst < x2.dst
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    scored AS (
+      SELECT w.a, w.b, w.cn,
+             da.degree * db.degree AS pa,
+             (1000000 * w.cn * w.cn) // (da.degree * db.degree)
+               AS salton2_micro
+      FROM wedge w JOIN deg da ON w.a = da.v
+                   JOIN deg db ON w.b = db.v
+    )
+    SELECT s.a, s.b, s.cn, s.pa, s.salton2_micro
+    FROM scored s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM csym c WHERE c.src = s.a AND c.dst = s.b
+    )
+    """,
+)
+def corpus_link_predict_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer link-prediction score family (Liben-Nowell &
+    Kleinberg 2003) for non-adjacent pairs with >= 2 common neighbors:
+    common-neighbor count, preferential attachment deg(a)*deg(b), and
+    the squared Salton cosine cn^2/(deg_a*deg_b) micro-quantized via
+    integer division — the float-free counterpart of the classic
+    cn/sqrt(deg_a*deg_b), monotone-identical for ranking. Completes
+    the predictor family next to ``corpus_link_predict_ra`` (the
+    1/deg-weighted member); Adamic-Adar is intentionally not
+    registered — its 1/ln(deg) weight cannot cross the engine hash
+    exactly, and RA dominates it on the same wedge plan (Zhou, Lu,
+    Zhang 2009). Same wedge self-join + degree joins + anti-join
+    shapes already pinned by the bibliometric plan regressions."""
+    sym = undirect(_dedges(spark)).localCheckpoint()
+    deg = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    w1 = sym.select(F.col("src").alias("z"), F.col("dst").alias("a"))
+    w2 = sym.select(F.col("src").alias("z"), F.col("dst").alias("b"))
+    wedge = (
+        w1.join(w2, "z")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .filter(F.col("cn") >= 2)
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("v").alias("b"), F.col("degree").alias("degb"))
+    scored = (
+        wedge.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            (F.col("dega") * F.col("degb")).alias("pa"),
+            F.expr("(1000000 * cn * cn) div (dega * degb)").alias(
+                "salton2_micro"
+            ),
+        )
+    )
+    adj = sym.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    return scored.join(adj, ["a", "b"], "left_anti")

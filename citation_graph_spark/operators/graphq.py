@@ -1363,3 +1363,86 @@ def graph_part_four_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return four_clique_counts(edges, vertices=verts)
+
+
+# --------------------------------------------------------------------------
+# Bipartite butterfly counting — the bipartite analog of triangles
+# (Sanei-Mehri, Sariyuce, Tirthapura 2018): a butterfly is a complete
+# 2x2 biclique (c1, c2, p1, p2). Over the customer x part purchase
+# graph it measures co-purchase cohesion, the bipartite counterpart of
+# the same-brand co-order part graph used by the triangle family.
+@register(
+    "bipartite_butterflies",
+    oracle="""
+    WITH be AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    wedge AS (
+      SELECT x1.c AS c1, x2.c AS c2, count(*) AS m
+      FROM be x1 JOIN be x2 ON x1.p = x2.p AND x1.c < x2.c
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    contrib AS (
+      SELECT c1 AS c, m * (m - 1) / 2 AS bf FROM wedge
+      UNION ALL
+      SELECT c2 AS c, m * (m - 1) / 2 AS bf FROM wedge
+    ),
+    cnt AS (SELECT c, sum(bf) AS n_butterflies FROM contrib GROUP BY c)
+    SELECT cu.c_custkey AS custkey,
+           cast(coalesce(cnt.n_butterflies, 0) AS BIGINT) AS n_butterflies
+    FROM customer cu LEFT JOIN cnt ON cu.c_custkey = cnt.c
+    """,
+)
+def bipartite_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer butterfly (2x2 biclique) counts over the distinct
+    customer x part purchase graph. Wedges are keyed on the shared
+    part (pairs of customers per part), so each customer pair (c1, c2)
+    sharing m >= 2 parts contributes C(m, 2) butterflies to both
+    endpoints — exact integers end-to-end.
+
+    Scale shape: one distinct-edge shuffle, one wedge self-join keyed
+    on the part, one (c1, c2) groupBy, one customer-keyed count. Hub
+    skew lives in popular parts (O(deg_p^2) wedges); the standard
+    mitigation at link-graph scale is side selection (center wedges on
+    the side with smaller sum deg^2 — Sanei-Mehri et al. §4) plus a
+    degree cap on the handful of super-hubs; the shape here is already
+    the per-vertex-count-preserving variant (part-centered wedges give
+    customer pair counts directly)."""
+    t = load_tables(spark, sf_dir)
+    be = (
+        t["orders"]
+        .select("o_orderkey", "o_custkey")
+        .join(
+            t["lineitem"].select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    x1 = be.select(F.col("p").alias("p"), F.col("c").alias("c1"))
+    x2 = be.select(F.col("p").alias("p"), F.col("c").alias("c2"))
+    wedge = (
+        x1.join(x2, "p")
+        .filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+    )
+    bf = (F.col("m") * (F.col("m") - 1) / 2).cast("long").alias("bf")
+    contrib = wedge.select(F.col("c1").alias("c"), bf).unionByName(
+        wedge.select(F.col("c2").alias("c"), bf)
+    )
+    cnt = contrib.groupBy("c").agg(F.sum("bf").alias("n_butterflies"))
+    return (
+        t["customer"]
+        .select(F.col("c_custkey").alias("custkey"))
+        .join(cnt, F.col("custkey") == F.col("c"), "left")
+        .select(
+            "custkey",
+            F.coalesce("n_butterflies", F.lit(0)).cast("long").alias(
+                "n_butterflies"
+            ),
+        )
+    )
