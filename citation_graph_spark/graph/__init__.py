@@ -4,6 +4,10 @@ from citation_graph_spark.graph.pagerank import pagerank
 from citation_graph_spark.graph.components import connected_components
 from citation_graph_spark.graph.communities import label_propagation
 from citation_graph_spark.graph.triangles import four_clique_counts, triangle_counts
+from citation_graph_spark.graph.densest import (
+    densest_subgraph_rounds,
+    densest_subgraph_vertices,
+)
 from citation_graph_spark.graph.traversal import (
     bfs_distances,
     bfs_per_source,
@@ -31,6 +35,8 @@ __all__ = [
     "connected_components",
     "label_propagation",
     "four_clique_counts",
+    "densest_subgraph_rounds",
+    "densest_subgraph_vertices",
     "triangle_counts",
     "bfs_distances",
     "bfs_per_source",

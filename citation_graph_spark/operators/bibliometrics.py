@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from citation_graph_spark.graph import (
+    densest_subgraph_rounds,
     eigenvector_centrality,
     katz_centrality,
     strongly_connected_components,
@@ -653,3 +654,54 @@ def corpus_link_predict_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     adj = sym.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     return scored.join(adj, ["a", "b"], "left_anti")
+
+
+# --------------------------------------------------------------------------
+@register(
+    "corpus_densest_subgraph",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_CTE},
+    peel(it, src, dst) AS (
+      SELECT 1, src, dst FROM csym
+      UNION ALL
+      SELECT it + 1, src, dst FROM (
+        SELECT *, sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER () AS nv
+        FROM (
+          SELECT *, count(*) OVER (PARTITION BY src) AS dsrc,
+                    count(*) OVER (PARTITION BY dst) AS ddst,
+                    count(*) OVER () AS esym,
+                    row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+          FROM peel WHERE it < 100
+        ) q
+      ) q2
+      WHERE 10 * dsrc * nv > 11 * esym AND 10 * ddst * nv > 11 * esym
+    ),
+    m AS (
+      SELECT it AS round, count(DISTINCT src) AS n_vertices,
+             count(*) // 2 AS n_edges,
+             (1000000 * (count(*) // 2)) // count(DISTINCT src)
+               AS density_micro
+      FROM peel GROUP BY it
+    ),
+    best AS (SELECT min(round) AS br FROM m
+             WHERE density_micro = (SELECT max(density_micro) FROM m))
+    SELECT CAST(round AS BIGINT) AS round, n_vertices, n_edges,
+           density_micro,
+           CAST(CASE WHEN round = (SELECT br FROM best) THEN 1 ELSE 0 END
+                AS BIGINT) AS is_best
+    FROM m
+    """,
+)
+def corpus_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel densest-subgraph peel (Bahmani, Kumar, Vassilvitskii
+    2012; 2(1+eps)-approx of Charikar's max |E|/|V|, eps=0.1) on the
+    undirected citation graph: per-round survivor metrics with the
+    best-density round flagged — the round whose entering survivor set
+    IS the approximate densest core (graph/densest.py serves that set
+    via densest_subgraph_vertices). The densest core of a citation
+    corpus is its mutually-citing nucleus — the reference ranks that
+    nucleus indirectly through citation counts; this serves it as a
+    first-class structural result. Oracle: the identical synchronous
+    schedule as a recursive CTE over the symmetric edge state, all
+    thresholds pure int64."""
+    return densest_subgraph_rounds(_dedges(spark), max_iter=100)

@@ -336,3 +336,58 @@ def test_four_cliques_match_oracle(spark, name):
     )
     assert got == _four_cliques_oracle(n, el)
     assert sum(got) % 4 == 0
+
+
+# ------------------------------------------------------------- densest peel
+def _densest_rounds_oracle(edge_list):
+    """Sequential replay of the synchronous 2(1+0.1)-peel: per-round
+    (V, E, density_micro) over the surviving symmetric edge set."""
+    sym = set()
+    for s, d in edge_list:
+        if s != d:
+            sym.add((s, d))
+            sym.add((d, s))
+    rows = []
+    it = 0
+    while sym and it < 100:
+        it += 1
+        deg = {}
+        for s, _ in sym:
+            deg[s] = deg.get(s, 0) + 1
+        nv, esym = len(deg), len(sym)
+        rows.append((it, nv, esym // 2, 1_000_000 * (esym // 2) // nv))
+        keep = {v for v, d in deg.items() if 10 * d * nv > 11 * esym}
+        sym = {(s, d) for s, d in sym if s in keep and d in keep}
+    best = max(r[3] for r in rows)
+    br = min(r[0] for r in rows if r[3] == best)
+    return [(r[0], r[1], r[2], r[3], 1 if r[0] == br else 0) for r in rows]
+
+
+@pytest.mark.parametrize("name", ["random_200", "random_500_skew"])
+def test_densest_rounds_match_sequential_replay(spark, name):
+    from citation_graph_spark.graph import densest_subgraph_rounds
+
+    n, el = GRAPHS[name]
+    got = [
+        tuple(r)
+        for r in densest_subgraph_rounds(edges_df(spark, el))
+        .orderBy("round")
+        .collect()
+    ]
+    assert got == _densest_rounds_oracle(el)
+
+
+def test_densest_vertices_find_planted_clique(spark):
+    """K8 planted in a long path: the peel's best round must keep the
+    clique and shed the path."""
+    from citation_graph_spark.graph import densest_subgraph_vertices
+
+    el = [(i, j) for i in range(8) for j in range(i + 1, 8)]
+    el += [(100 + i, 101 + i) for i in range(60)]  # path of 61
+    el += [(0, 100)]  # connect them
+    got = sorted(
+        r["vid"]
+        for r in densest_subgraph_vertices(edges_df(spark, el)).collect()
+    )
+    assert set(range(8)).issubset(got)
+    assert all(v < 8 for v in got), got
