@@ -1446,3 +1446,77 @@ def bipartite_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Maximal independent set — deterministic-priority Luby rounds
+# (graph/mis.py). The oracle replays the identical synchronous
+# schedule as a recursive CTE whose working set carries one "card" row
+# per active vertex plus the active symmetric adjacency; winner /
+# touched flags are pure window functions over that single scan, and
+# the per-round priority is the same int64 Lehmer hash both engines
+# compute bit-exactly.
+_MIS_Q = (
+    "((({v}) % 2147483647) * ((48271 * it) % 2147483647)"
+    " + ((16807 * it) % 2147483647)) % 2147483647 % 8388608"
+    " * 1099511627776 + ({v})"
+)
+
+
+@register(
+    "graph_part_mis",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    peel(it, kind, v, nb) AS (
+      SELECT 1, 0, vid, CAST(NULL AS BIGINT) FROM verts
+      UNION ALL SELECT 1, 1, src, dst FROM sym
+      UNION ALL
+      SELECT CASE WHEN kind = 0 AND win_v THEN it ELSE it + 1 END,
+             CASE WHEN kind = 0 AND win_v THEN 2 ELSE kind END,
+             v, nb
+      FROM (
+        SELECT *,
+               max(CASE WHEN win_nb THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY v) AS touch_v,
+               max(CASE WHEN win_v THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY nb) AS touch_nb
+        FROM (
+          SELECT *,
+                 (minq_v IS NULL OR q_v < minq_v) AS win_v,
+                 (kind = 1 AND q_nb < minq_nb) AS win_nb
+          FROM (
+            SELECT *,
+                   min(q_nb) OVER (PARTITION BY v) AS minq_v,
+                   min(q_v) OVER (PARTITION BY nb) AS minq_nb
+            FROM (
+              SELECT it, kind, v, nb,
+                     {_MIS_Q.format(v='v')} AS q_v,
+                     {_MIS_Q.format(v='nb')} AS q_nb
+              FROM peel WHERE kind IN (0, 1) AND it <= 100
+            ) q1
+          ) q2
+        ) q3
+      ) q4
+      WHERE (kind = 0 AND (win_v OR touch_v = 0))
+         OR (kind = 1 AND NOT win_v AND touch_v = 0
+             AND NOT win_nb AND touch_nb = 0)
+    )
+    SELECT vt.vid,
+           CAST(CASE WHEN m.v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS in_mis,
+           CAST(coalesce(m.it, 0) AS BIGINT) AS mis_round
+    FROM verts vt
+    LEFT JOIN (SELECT v, it FROM peel WHERE kind = 2) m ON vt.vid = m.v
+    """,
+)
+def graph_part_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set on the co-order part graph via
+    deterministic-priority Luby rounds (graph/mis.py) — distributed
+    symmetry breaking: no two chosen parts are co-ordered, and every
+    unchosen part conflicts with a chosen one (the seed structure for
+    conflict-free scheduling / coloring over the same edge table the
+    north-rule kernels run on)."""
+    from citation_graph_spark.graph import maximal_independent_set
+
+    edges = part_graph_edges(spark, sf_dir)
+    return maximal_independent_set(edges, max_iter=100)

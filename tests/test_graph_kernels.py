@@ -391,3 +391,63 @@ def test_densest_vertices_find_planted_clique(spark):
     )
     assert set(range(8)).issubset(got)
     assert all(v < 8 for v in got), got
+
+
+# ----------------------------------------------------------------- Luby MIS
+def _mis_oracle(n, edge_list):
+    """Sequential replay of the deterministic-priority Luby schedule."""
+    P, M, S = 2147483647, 8388608, 1099511627776
+    adj = [set() for _ in range(n)]
+    for s, d in edge_list:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    verts = {v for v in range(n) if adj[v]}
+    active = set(verts)
+    mis_round = {}
+    it = 0
+    while active and it < 100:
+        it += 1
+        a, b = 48271 * it % P, 16807 * it % P
+        q = {v: (v % P * a + b) % P % M * S + v for v in active}
+        winners = {
+            v
+            for v in active
+            if all(q[v] < q[u] for u in adj[v] & active)
+        }
+        for v in winners:
+            mis_round[v] = it
+        active -= winners | {u for v in winners for u in adj[v]}
+    return {
+        v: (1 if v in mis_round else 0, mis_round.get(v, 0)) for v in verts
+    }
+
+
+@pytest.mark.parametrize("name", ["random_200", "random_500_skew"])
+def test_mis_matches_sequential_replay(spark, name):
+    from citation_graph_spark.graph import maximal_independent_set
+
+    n, el = GRAPHS[name]
+    got = {
+        r["vid"]: (r["in_mis"], r["mis_round"])
+        for r in maximal_independent_set(edges_df(spark, el)).collect()
+    }
+    assert got == _mis_oracle(n, el)
+
+
+def test_mis_independent_and_maximal(spark):
+    from citation_graph_spark.graph import maximal_independent_set
+
+    n, el = GRAPHS["random_200"]
+    rows = maximal_independent_set(edges_df(spark, el)).collect()
+    in_mis = {r["vid"] for r in rows if r["in_mis"] == 1}
+    adj = {}
+    for s, d in el:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    # independence: no edge inside the set
+    assert all(not (adj.get(v, set()) & in_mis) for v in in_mis)
+    # maximality: every non-member has a member neighbor
+    out = {r["vid"] for r in rows if r["in_mis"] == 0}
+    assert all(adj[v] & in_mis for v in out)
