@@ -353,3 +353,115 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("dup_trigram_r4"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus bigram language model + per-document typicality scoring — the
+# statistical-LM curation rung (CCNet/KenLM-style perplexity filtering,
+# Wenzek et al. 2020) expressed float-free: each bigram occurrence is
+# credited its MLE conditional probability P(w2|w1) = C(w1 w2)/C(w1·)
+# micro-quantized by integer division, and a document's typicality is
+# the integer mean credit. Atypical (low-score) documents are the ones
+# perplexity filtering drops; identical ranking, exact cross-engine.
+@register(
+    "doc_bigram_typicality",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS ts
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ts)),
+                    i -> ts[i] || ' ' || ts[i + 1])) AS g
+      FROM toks WHERE len(ts) >= 2
+    ),
+    db AS (SELECT doc_id, g, count(*) AS k FROM bg GROUP BY doc_id, g),
+    c12 AS (SELECT g, sum(k) AS c12 FROM db GROUP BY g),
+    c1 AS (SELECT split_part(g, ' ', 1) AS w1, sum(k) AS c1
+           FROM db GROUP BY 1),
+    scored AS (
+      SELECT db.doc_id,
+             sum(db.k) AS n_bigrams,
+             sum(db.k * ((1000000 * c12.c12) // c1.c1)) AS credit_sum
+      FROM db
+      JOIN c12 USING (g)
+      JOIN c1 ON split_part(db.g, ' ', 1) = c1.w1
+      GROUP BY db.doc_id
+    )
+    SELECT d.doc_id,
+           cast(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           cast(CASE WHEN coalesce(s.n_bigrams, 0) > 0
+                THEN s.credit_sum // s.n_bigrams ELSE 0 END AS BIGINT)
+             AS typ_micro
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def doc_bigram_typicality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a corpus bigram model and score every document's mean
+    micro-quantized conditional bigram probability (``typ_micro``):
+    boilerplate and templated text scores high, lexically anomalous
+    text low — the drop signal of LM-perplexity corpus filtering,
+    here with the model trained and applied in the SAME distributed
+    pass. Reference analog: none (its quality control is manual
+    curation); this is the statistical rung a 100-TB pre-training
+    corpus needs.
+
+    Scale shape: one bigram explode pre-aggregated per (doc_id,
+    bigram) map-side, one bigram-keyed shuffle for C(w1 w2), one
+    w1-keyed shuffle for C(w1·), two model joins back on those same
+    well-spread keys, one doc_id-keyed final agg — volume O(tokens),
+    no self-join. Skewed head bigrams ('of the') are absorbed by
+    map-side combine; at 100 TB the model tables would be stored and
+    reused across scoring runs (snapshots.py)."""
+    return bigram_typicality_scores(load_tables(spark, sf_dir)["documents"])
+
+
+def bigram_typicality_scores(d: DataFrame) -> DataFrame:
+    """Core of doc_bigram_typicality over any (doc_id, text) frame —
+    exposed for unit tests and non-fixture corpora."""
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.expr(
+            "transform(sequence(0, size(split(trim(lower(coalesce(text, ''))),"
+            " '\\\\s+')) - 2), i -> concat_ws(' ',"
+            " split(trim(lower(coalesce(text, ''))), '\\\\s+')[i],"
+            " split(trim(lower(coalesce(text, ''))), '\\\\s+')[i + 1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    db = (
+        d.select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    c12 = db.groupBy("g").agg(F.sum("k").alias("c12"))
+    w1 = F.substring_index(F.col("g"), " ", 1)
+    c1 = db.groupBy(w1.alias("w1")).agg(F.sum("k").alias("c1"))
+    scored = (
+        db.join(c12, "g")
+        .join(c1, w1 == F.col("w1"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_bigrams"),
+            F.sum(
+                F.col("k") * F.expr("(1000000 * c12) div c1")
+            ).alias("credit_sum"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.expr("credit_sum div n_bigrams"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("typ_micro"),
+        )
+    )
