@@ -171,3 +171,94 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(BPE_TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Full BPE merge-rule LEARNING (Sennrich, Haddow, Birch 2016) — the
+# iterative loop bpe_pair_counts is one round of, run to K rules.
+_BPE_MERGES = 20
+
+
+def _sym_lit(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def bpe_learn(words: DataFrame, n_merges: int = _BPE_MERGES) -> DataFrame:
+    """Learn ``n_merges`` BPE merge rules from a ``(word, count)``
+    vocabulary: start from character symbols, each round count
+    adjacent symbol pairs weighted by word frequency, merge the most
+    frequent pair (ties: lexicographic) left-to-right non-overlapping
+    in every word, record the rule. Returns
+    ``(rank, left, right, n)`` — the learned merge table.
+
+    Distribution: the state is the (distinct-word, count, symbol
+    array) table — orders of magnitude smaller than the corpus — kept
+    hash-partitioned and localCheckpoint-ed per round; pair counting
+    is an explode + map-side-combined groupBy (ONE shuffle per round);
+    the argmax is a 1-row TakeOrdered; the merge itself is a narrow
+    per-row ``aggregate()`` fold, no shuffle. Driver sees exactly one
+    (pair, count) scalar per round. Stops early when no pair repeats
+    (count < 2 learns nothing)."""
+    spark = words.sparkSession
+    vocab = words.select(
+        "count",
+        F.expr("split(word, '')").alias("syms"),
+    ).localCheckpoint(eager=True)
+    rules = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            vocab.select(
+                "count",
+                F.explode(
+                    # sequence(0, -1) DESCENDS in Spark — guard 1-char words
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.expr(
+                            "transform(sequence(0, size(syms) - 2),"
+                            " i -> struct(syms[i] AS l, syms[i + 1] AS r))"
+                        ),
+                    ).otherwise(F.expr("cast(array() as array<struct<l:string,r:string>>)"))
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("count").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), F.asc("l"), F.asc("r")).take(1)
+        if not best or best[0]["n"] < 2:
+            break
+        left, right, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        rules.append((rank, left, right, n))
+        la, rb = _sym_lit(left), _sym_lit(right)
+        vocab = vocab.select(
+            "count",
+            F.expr(
+                f"""aggregate(syms, cast(array() as array<string>),
+                  (acc, x) -> case
+                    when size(acc) > 0 and element_at(acc, -1) = {la}
+                         and x = {rb}
+                    then concat(slice(acc, 1, size(acc) - 1),
+                                array(concat({la}, {rb})))
+                    else concat(acc, array(x)) end)"""
+            ).alias("syms"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rules, "rank long, left string, right string, n long"
+    )
+
+
+@register("bpe_learn_merges")
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table over the documents corpus: word
+    vocabulary = whitespace tokens with corpus frequencies, 20 merge
+    rules. Rows-only for the driver gate (the merge loop is iterative,
+    not single-SQL-expressible); exactness is pinned by
+    tests/test_tokenization.py's sequential replay of the identical
+    schedule."""
+    d = load_tables(spark, sf_dir)["documents"]
+    words = (
+        d.select(F.explode(_toks()).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    return bpe_learn(words, _BPE_MERGES)

@@ -99,5 +99,8 @@ def test_rows_only_queries_have_kernel_oracles():
         # HLL estimates have no SQL twin; register fixpoint bit-replayed
         # + accuracy pinned vs oracle-backed exact_balls in test_topology
         "corpus_hyperball",
+        # iterative merge loop, not single-SQL-expressible; sequential
+        # replay of the identical schedule in test_tokenization
+        "bpe_learn_merges",
     }
     assert rows_only <= allowed, rows_only

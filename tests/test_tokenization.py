@@ -113,3 +113,62 @@ def test_tokenization_plans(spark):
         assert s["exchanges"] <= 2, s["exchanges"]
         assert s["cartesian"] == 0 and s["sort_merge_joins"] == 0
         assert "TakeOrderedAndProject" in s["formatted"], s["formatted"][:2000]
+
+
+# ----------------------------------------------------------------- BPE learn
+def _bpe_learn_oracle(word_counts, n_merges):
+    """Sequential Sennrich-style BPE with the engine's exact tie-break
+    (count desc, left asc, right asc) and left-to-right non-overlapping
+    merging."""
+    vocab = [(list(w), c) for w, c in word_counts.items()]
+    rules = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for syms, c in vocab:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), n = best
+        if n < 2:
+            break
+        rules.append((rank, l, r, n))
+        merged = l + r
+        out = []
+        for syms, c in vocab:
+            acc = []
+            for x in syms:
+                if acc and acc[-1] == l and x == r:
+                    acc[-1] = merged
+                else:
+                    acc.append(x)
+            out.append((acc, c))
+        vocab = out
+    return rules
+
+
+def test_bpe_learn_matches_sequential_replay(spark):
+    from citation_graph_spark.operators.tokenization import bpe_learn
+
+    wc = {
+        "low": 5, "lower": 2, "newest": 6, "widest": 3,
+        "o'brien": 2, "a": 9, "aaaa": 4,
+    }
+    words = spark.createDataFrame(list(wc.items()), "word string, count long")
+    got = [
+        (r["rank"], r["left"], r["right"], r["n"])
+        for r in bpe_learn(words, 15).orderBy("rank").collect()
+    ]
+    assert got == _bpe_learn_oracle(wc, 15)
+    # overlapping-run semantics: 'aaaa' x4 merges left-to-right
+    assert ("a", "a") in {(l, r) for _, l, r, _ in got}
+
+
+def test_bpe_learn_stops_when_nothing_repeats(spark):
+    from citation_graph_spark.operators.tokenization import bpe_learn
+
+    words = spark.createDataFrame([("xy", 1), ("zq", 1)], "word string, count long")
+    assert bpe_learn(words, 10).count() == 0
