@@ -44,6 +44,20 @@ _EPS_NUM = 10
 _EPS_DEN = 11  # NB: vs E_sym = 2|E|, so the pair encodes 22/10 vs |E|
 
 
+def peel_round_lineage(
+    alive: DataFrame, deg: DataFrame, n_v: int, n_sym: int
+) -> DataFrame:
+    """One peel round's surviving-edge plan — int64-threshold filter
+    over the (already materialized) degree table + two semi-joins —
+    exposed for the plan audit / regressions."""
+    keep = deg.filter(
+        F.col("deg") * F.lit(_EPS_NUM * n_v) > F.lit(_EPS_DEN * n_sym)
+    ).select("src")
+    return alive.join(keep, "src", "left_semi").join(
+        keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+    )
+
+
 def densest_subgraph_rounds(
     edges: DataFrame,
     max_iter: int = 100,
@@ -123,14 +137,8 @@ def _peel(
             if keep_snapshots:
                 snapshots[it] = deg.select(F.col("src").alias("vid"))
             # keep v iff 10*deg*V > 11*E_sym — pure int64, oracle-identical
-            keep = deg.filter(
-                F.col("deg") * F.lit(_EPS_NUM * n_v) > F.lit(_EPS_DEN * n_sym)
-            ).select("src")
             alive = (
-                alive.join(keep, "src", "left_semi")
-                .join(
-                    keep.select(F.col("src").alias("dst")), "dst", "left_semi"
-                )
+                peel_round_lineage(alive, deg, n_v, n_sym)
                 .repartition(num_partitions, "src")
                 .localCheckpoint(eager=True)
             )

@@ -53,6 +53,24 @@ def _q(col: F.Column, r: int) -> F.Column:
     return ((col % _P) * F.lit(a) + F.lit(b)) % _P % _M * F.lit(_S) + col
 
 
+def mis_round_lineage(e: DataFrame, active: DataFrame, it: int) -> DataFrame:
+    """One Luby round's winner plan — two semi-joins of the edge set
+    against the active set, one neighbor-min groupBy, one left join —
+    exposed so the plan audit / regressions can pin the shape the
+    kernel loop materializes."""
+    e_act = e.join(
+        active.select(F.col("vid").alias("src")), "src", "left_semi"
+    ).join(active.select(F.col("vid").alias("dst")), "dst", "left_semi")
+    nbmin = e_act.groupBy("src").agg(
+        F.min(_q(F.col("dst"), it)).alias("minq")
+    )
+    return (
+        active.join(nbmin, active["vid"] == nbmin["src"], "left")
+        .filter(F.col("minq").isNull() | (_q(F.col("vid"), it) < F.col("minq")))
+        .select("vid")
+    )
+
+
 def maximal_independent_set(
     edges: DataFrame,
     max_iter: int = 100,
@@ -102,16 +120,8 @@ def _mis(
             e_act = e.join(
                 active.select(F.col("vid").alias("src")), "src", "left_semi"
             ).join(active.select(F.col("vid").alias("dst")), "dst", "left_semi")
-            nbmin = e_act.groupBy("src").agg(
-                F.min(_q(F.col("dst"), it)).alias("minq")
-            )
-            winners = (
-                active.join(nbmin, active["vid"] == nbmin["src"], "left")
-                .filter(
-                    F.col("minq").isNull() | (_q(F.col("vid"), it) < F.col("minq"))
-                )
-                .select("vid")
-                .localCheckpoint(eager=True)
+            winners = mis_round_lineage(e, active, it).localCheckpoint(
+                eager=True
             )
             n_win = winners.count()
             won = winners.withColumn("mis_round", F.lit(it).cast("long"))

@@ -588,3 +588,63 @@ def test_revenue_rollup_one_expand_dims_broadcast(stats):
     assert s["broadcast_joins"] >= 2
     assert s["cartesian"] == 0
     assert s["exchanges"] <= 5
+
+
+def test_densest_peel_round_shape(spark):
+    # one peel round: threshold filter over the materialized degree
+    # table + two semi-joins of the edge state — bounded exchanges,
+    # never a cartesian
+    from citation_graph_spark.graph.densest import peel_round_lineage
+
+    alive = (
+        spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+        )
+        .repartition(4, "src")
+        .localCheckpoint(eager=True)
+    )
+    deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = deg.localCheckpoint(eager=True)
+    with static_plans(spark):
+        s = plan_stats(peel_round_lineage(alive, deg, 3, 4))
+    assert s["cartesian"] == 0
+    assert s["exchanges"] <= 10
+
+
+def test_mis_round_shape(spark):
+    # one Luby round: two edge-vs-active semi-joins + neighbor-min
+    # groupBy + winner left-join filter — bounded exchanges, no
+    # cartesian
+    from citation_graph_spark.graph.mis import mis_round_lineage
+
+    e = (
+        spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+        )
+        .repartition(4, "src")
+        .localCheckpoint(eager=True)
+    )
+    active = (
+        spark.createDataFrame([(1,), (2,), (3,)], "vid long")
+        .repartition(4, "vid")
+        .localCheckpoint(eager=True)
+    )
+    with static_plans(spark):
+        s = plan_stats(mis_round_lineage(e, active, 1))
+    assert s["cartesian"] == 0
+    assert s["exchanges"] <= 12
+
+
+def test_bipartite_butterflies_keyed_wedges(stats):
+    # part-centered wedge self-join + pair groupBy — all keyed joins
+    s = stats("bipartite_butterflies")
+    assert s["cartesian"] == 0
+    assert s["exchanges"] <= 12
+
+
+def test_doc_bigram_typicality_no_self_join_blowup(stats):
+    # bigram/w1/doc_id keyed shuffles only; joins keyed (broadcast at
+    # small SF), never cartesian
+    s = stats("doc_bigram_typicality")
+    assert s["cartesian"] == 0
+    assert s["exchanges"] <= 12

@@ -67,6 +67,11 @@ AUDIT = [
     ("four_clique_lineage", "kClist ordered expansion: 6 equi-joins over the oriented DAG, no cartesian"),
     ("span_dedup_ngram", "span-level exact-substring dedup: gram explode + map-side-combined counts, gram/doc_id keyed shuffles only"),
     ("revenue_rollup", "grouping-sets rollup: one Expand + hash-aggregate pass, dims broadcast"),
+    ("bipartite_butterflies", "bipartite 2x2-biclique counts: part-centered wedge self-join + pair groupBy, no cartesian"),
+    ("corpus_link_predict_cn", "CN/PA/Salton predictors: wedge join + degree joins + anti-join, all keyed"),
+    ("doc_bigram_typicality", "bigram LM train+score in one pass: bigram/w1/doc_id keyed shuffles only"),
+    ("densest_peel_round", "one densest-subgraph peel round: degree threshold + two semi-joins of the edge state"),
+    ("mis_round", "one Luby MIS round: two semi-joins + neighbor-min groupBy + winner filter"),
 ]
 
 
@@ -250,6 +255,37 @@ def _lineage(spark, name: str):
         edges = part_graph_edges(spark, SF_DIR)
         verts = edges.select(F.col("src").alias("vid")).distinct()
         return four_clique_lineage(oriented_edges(edges), vertices=verts)
+    if name == "densest_peel_round":
+        from pyspark.sql import functions as F
+
+        from citation_graph_spark.graph.densest import peel_round_lineage
+
+        alive = (
+            spark.createDataFrame(
+                [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+            )
+            .repartition(4, "src")
+            .localCheckpoint(eager=True)
+        )
+        deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        deg = deg.localCheckpoint(eager=True)
+        return peel_round_lineage(alive, deg, 3, 4)
+    if name == "mis_round":
+        from citation_graph_spark.graph.mis import mis_round_lineage
+
+        e = (
+            spark.createDataFrame(
+                [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+            )
+            .repartition(4, "src")
+            .localCheckpoint(eager=True)
+        )
+        active = (
+            spark.createDataFrame([(1,), (2,), (3,)], "vid long")
+            .repartition(4, "vid")
+            .localCheckpoint(eager=True)
+        )
+        return mis_round_lineage(e, active, 1)
     return None
 
 
