@@ -1520,3 +1520,115 @@ def graph_part_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = part_graph_edges(spark, sf_dir)
     return maximal_independent_set(edges, max_iter=100)
+
+
+# --------------------------------------------------------------------------
+# Maximal matching + 2-approx vertex cover — deterministic-priority
+# parallel greedy rounds (graph/matching.py). The oracle replays the
+# identical synchronous schedule as a recursive CTE whose working set
+# is the active canonical edge list; each round expands every edge to
+# its two endpoint views (a side cross join — the single allowed
+# self-reference), finds the lexicographic (q, eid) minimum per
+# endpoint with stacked window minima, conjoins the two endpoint
+# verdicts with an (a, b) window, and retires every edge touching a
+# winner — all in bit-exact int64 both engines share.
+_MM_Q = (
+    "((((a % 2147483647) * 1000003 + (b % 2147483647)) % 2147483647)"
+    " * ((48271 * it) % 2147483647) + ((16807 * it) % 2147483647))"
+    " % 2147483647"
+)
+
+_MM_CTE = f"""
+    mm(it, kind, a, b) AS (
+      SELECT 1, 0, src, dst FROM edges
+      UNION ALL
+      SELECT CASE WHEN win_e = 1 THEN it ELSE it + 1 END,
+             CASE WHEN win_e = 1 THEN 2 ELSE 0 END,
+             a, b
+      FROM (
+        SELECT *, max(touch_v) OVER (PARTITION BY a, b) AS touch_e
+        FROM (
+          SELECT *, max(win_e) OVER (PARTITION BY v) AS touch_v
+          FROM (
+            SELECT *, min(CASE WHEN winrow THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY a, b) AS win_e
+            FROM (
+              SELECT *, (q = mn1 AND eid = mn2) AS winrow
+              FROM (
+                SELECT *, min(CASE WHEN q = mn1 THEN eid END)
+                            OVER (PARTITION BY v) AS mn2
+                FROM (
+                  SELECT *, min(q) OVER (PARTITION BY v) AS mn1
+                  FROM (
+                    SELECT it, a, b, side,
+                           CASE WHEN side = 0 THEN a ELSE b END AS v,
+                           {_MM_Q} AS q,
+                           a * 2147483648 + b AS eid
+                    FROM mm CROSS JOIN (VALUES (0), (1)) s(side)
+                    WHERE kind = 0 AND it <= 100
+                  ) q0
+                ) q1
+              ) q2
+            ) q3
+          ) q4
+        ) q5
+      ) q6
+      WHERE side = 0 AND (win_e = 1 OR touch_e = 0)
+    ),
+    mates AS (
+      SELECT a AS vid, b AS mate, it FROM mm WHERE kind = 2
+      UNION ALL
+      SELECT b AS vid, a AS mate, it FROM mm WHERE kind = 2
+    )
+"""
+
+
+@register(
+    "graph_part_matching",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    {_MM_CTE}
+    SELECT vt.vid,
+           CAST(coalesce(mt.mate, -1) AS BIGINT) AS mate,
+           CAST(CASE WHEN mt.mate IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS matched,
+           CAST(coalesce(mt.it, 0) AS BIGINT) AS match_round
+    FROM verts vt LEFT JOIN mates mt ON vt.vid = mt.vid
+    """,
+)
+def graph_part_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal matching on the co-order part graph via
+    deterministic-priority parallel greedy rounds (graph/matching.py)
+    — one-to-one pairing over the same edge table the north-rule
+    kernels run on: each part paired with at most one co-ordered
+    partner, no pairable pair left unpaired (the exclusive-pairing
+    curation rung the transitive dedup_groups_minhash cannot
+    express)."""
+    from citation_graph_spark.graph import maximal_matching
+
+    edges = part_graph_edges(spark, sf_dir)
+    return maximal_matching(edges, max_iter=100)
+
+
+@register(
+    "graph_part_vertex_cover",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    {_MM_CTE}
+    SELECT DISTINCT vid FROM mates
+    """,
+)
+def graph_part_vertex_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-approximate minimum vertex cover (Gavril): the matched-vertex
+    set of the maximal matching — every co-order edge has at least one
+    endpoint in the set, and no algorithm can do better than half its
+    size. The monitoring-placement / sample-audit primitive over the
+    part graph."""
+    from citation_graph_spark.graph import maximal_matching
+
+    edges = part_graph_edges(spark, sf_dir)
+    return (
+        maximal_matching(edges, max_iter=100)
+        .filter(F.col("matched") == 1)
+        .select("vid")
+    )

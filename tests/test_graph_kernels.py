@@ -451,3 +451,88 @@ def test_mis_independent_and_maximal(spark):
     # maximality: every non-member has a member neighbor
     out = {r["vid"] for r in rows if r["in_mis"] == 0}
     assert all(adj[v] & in_mis for v in out)
+
+
+# ------------------------------------------------------- maximal matching
+def _matching_oracle(edge_list, max_iter=100):
+    """Sequential replay of the deterministic-priority matching
+    schedule (graph/matching.py contract)."""
+    P, EID_S = 2147483647, 2147483648
+    act = sorted({(min(s, d), max(s, d)) for s, d in edge_list if s != d})
+    verts = sorted({v for e in act for v in e})
+    res = {}
+    for it in range(1, max_iter + 1):
+        if not act:
+            break
+        ar, br = 48271 * it % P, 16807 * it % P
+        pri = {}
+        for a, b in act:
+            m = ((a % P) * 1000003 + b % P) % P
+            pri[(a, b)] = ((m * ar + br) % P, a * EID_S + b)
+        vmin = {}
+        for e in act:
+            for v in e:
+                vmin[v] = min(vmin.get(v, (1 << 62, 1 << 62)), pri[e])
+        winners = [
+            e for e in act if pri[e] == vmin[e[0]] and pri[e] == vmin[e[1]]
+        ]
+        mv = {v for e in winners for v in e}
+        for a, b in winners:
+            res[a] = (b, it)
+            res[b] = (a, it)
+        act = [e for e in act if e[0] not in mv and e[1] not in mv]
+    return {v: (*res.get(v, (-1, 0)),) for v in verts}
+
+
+@pytest.mark.parametrize("name", ["random_200", "random_500_skew"])
+def test_matching_matches_sequential_replay(spark, name):
+    from citation_graph_spark.graph import maximal_matching
+
+    n, el = GRAPHS[name]
+    got = {
+        r["vid"]: (r["mate"], r["match_round"])
+        for r in maximal_matching(edges_df(spark, el)).collect()
+    }
+    assert got == _matching_oracle(el)
+
+
+def test_matching_is_a_maximal_matching(spark):
+    from citation_graph_spark.graph import maximal_matching
+
+    n, el = GRAPHS["random_200"]
+    rows = maximal_matching(edges_df(spark, el)).collect()
+    mate = {r["vid"]: r["mate"] for r in rows}
+    # symmetry + one-to-one: mate of my mate is me
+    for v, m in mate.items():
+        if m != -1:
+            assert mate[m] == v
+    # matched flag consistent
+    assert all((r["mate"] != -1) == (r["matched"] == 1) for r in rows)
+    # maximality: no edge joins two unmatched vertices
+    un = {v for v, m in mate.items() if m == -1}
+    assert not [
+        (s, d) for s, d in el if s != d and s in un and d in un
+    ]
+
+
+def test_matching_vertex_cover_covers_every_edge(spark):
+    from citation_graph_spark.graph import maximal_matching
+
+    n, el = GRAPHS["two_cliques_bridge"]
+    rows = maximal_matching(edges_df(spark, el)).collect()
+    cover = {r["vid"] for r in rows if r["matched"] == 1}
+    assert all(
+        s in cover or d in cover for s, d in el if s != d
+    )
+    # 2-approx bound: |cover| = 2|M| <= 2 * |optimal cover| <= 2 * n
+    assert len(cover) % 2 == 0
+
+
+def test_matching_empty_and_single_edge(spark):
+    from citation_graph_spark.graph import maximal_matching
+
+    one = maximal_matching(edges_df(spark, [(0, 1)])).collect()
+    assert {(r["vid"], r["mate"], r["matched"]) for r in one} == {
+        (0, 1, 1),
+        (1, 0, 1),
+    }

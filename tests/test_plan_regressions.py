@@ -648,3 +648,22 @@ def test_doc_bigram_typicality_no_self_join_blowup(stats):
     s = stats("doc_bigram_typicality")
     assert s["cartesian"] == 0
     assert s["exchanges"] <= 12
+
+
+def test_matching_round_shape(spark):
+    # one matching round: endpoint expansion + stacked per-endpoint
+    # window minima + (a,b) groupBy conjunction — bounded exchanges,
+    # never a cartesian
+    from citation_graph_spark.graph.matching import matching_round_lineage
+
+    act = (
+        spark.createDataFrame(
+            [(1, 2, 17), (2, 3, 29), (1, 3, 41)], "a long, b long, m long"
+        )
+        .repartition(4, "a")
+        .localCheckpoint(eager=True)
+    )
+    with static_plans(spark):
+        s = plan_stats(matching_round_lineage(act, 1))
+    assert s["cartesian"] == 0
+    assert s["exchanges"] <= 8

@@ -72,6 +72,7 @@ AUDIT = [
     ("doc_bigram_typicality", "bigram LM train+score in one pass: bigram/w1/doc_id keyed shuffles only"),
     ("densest_peel_round", "one densest-subgraph peel round: degree threshold + two semi-joins of the edge state"),
     ("mis_round", "one Luby MIS round: two semi-joins + neighbor-min groupBy + winner filter"),
+    ("matching_round", "one matching round: endpoint windows + (a,b) groupBy conjunction"),
 ]
 
 
@@ -270,6 +271,18 @@ def _lineage(spark, name: str):
         deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         deg = deg.localCheckpoint(eager=True)
         return peel_round_lineage(alive, deg, 3, 4)
+    if name == "matching_round":
+        from citation_graph_spark.graph.matching import matching_round_lineage
+
+        act = (
+            spark.createDataFrame(
+                [(1, 2, 17), (2, 3, 29), (1, 3, 41)],
+                "a long, b long, m long",
+            )
+            .repartition(4, "a")
+            .localCheckpoint(eager=True)
+        )
+        return matching_round_lineage(act, 1)
     if name == "mis_round":
         from citation_graph_spark.graph.mis import mis_round_lineage
 
