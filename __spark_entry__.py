@@ -63,7 +63,8 @@ _GATE_PRIORITY = [
     "graph_part_four_cliques", "span_dedup_ngram", "revenue_rollup",
     "corpus_link_predict_cn", "bipartite_butterflies",
     "corpus_densest_subgraph", "graph_part_mis", "graph_part_matching",
-    "graph_part_vertex_cover", "doc_bigram_typicality",
+    "graph_part_vertex_cover", "dedup_sorted_neighborhood",
+    "doc_bigram_typicality",
     "bpe_learn_merges",
     "corpus_wl_refinement", "graph_part_eigenvector", "graph_part_closeness",
     "corpus_eigenvector",

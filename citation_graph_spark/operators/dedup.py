@@ -837,3 +837,147 @@ def span_dedup_scores(d: DataFrame) -> DataFrame:
             .alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sorted-neighborhood dedup (Hernández–Stolfo 1995): the classic ER
+# rung between exact-hash and MinHash — sort the corpus by a
+# normalized blocking key, compare only documents within a fixed-size
+# sliding window of the sort order, verify candidates with the exact
+# 3-gram Jaccard the blocked-join family already uses. Candidate count
+# is O(n·w) by construction (vs LSH's collision-dependent count), and
+# the pass catches prefix-similar near-dups whose shingles diverge
+# (boilerplate headers, versioned titles).
+_SNM_W = 8  # window width (positions)
+_SNM_KEY_LEN = 32  # normalized-prefix blocking key
+
+
+def _global_pos(df: DataFrame, sort_cols: list[str], n_parts: int) -> DataFrame:
+    """Exact global row_number by ``sort_cols`` with no single-partition
+    window: range-repartition on the key (disjoint, ordered ranges),
+    local row_number per range, then add broadcast prefix offsets.
+    The only driver-sized state is one row per partition."""
+    part = df.repartitionByRange(n_parts, *[F.col(c) for c in sort_cols])
+    part = part.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(*sort_cols)
+    local = part.withColumn("_lpos", F.row_number().over(w))
+    cnts = local.groupBy("_pid").agg(F.max("_lpos").alias("_cnt"))
+    # n_parts rows only — the unpartitioned window is over tiny data
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = cnts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(wo), F.lit(0))
+    ).select("_pid", "_off")
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn("pos", F.col("_lpos") + F.col("_off"))
+        .drop("_pid", "_lpos", "_off")
+    )
+
+
+_SNM_ORACLE = f"""
+    WITH {{shingle_cte}},
+    keyed AS (
+      SELECT doc_id,
+             substr(regexp_replace(lower(trim(coalesce(text, ''))),
+                                   '[^a-z0-9]+', '', 'g'),
+                    1, {_SNM_KEY_LEN}) AS k
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS pos
+      FROM keyed
+    ),
+    cand AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM ordered a JOIN ordered b
+        ON b.pos > a.pos AND b.pos <= a.pos + {_SNM_W}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.d1, c.d2, count(*) AS c
+      FROM cand c
+        JOIN shingles s1 ON s1.doc_id = c.d1
+        JOIN shingles s2 ON s2.doc_id = c.d2 AND s2.shingle = s1.shingle
+      GROUP BY c.d1, c.d2
+    )
+    SELECT i.d1, i.d2,
+           CAST(floor(CAST(i.c AS DOUBLE) / (z1.sz + z2.sz - i.c) * 1000000
+                      + 0.5) AS BIGINT) AS jaccard_micro
+    FROM inter i
+      JOIN sizes z1 ON z1.doc_id = i.d1
+      JOIN sizes z2 ON z2.doc_id = i.d2
+    WHERE 5 * i.c >= z1.sz + z2.sz - i.c
+"""
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=_SNM_ORACLE.format(shingle_cte=_SHINGLE_CTE.strip()),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs: normalized-prefix sort key →
+    exact distributed global rank → sliding window of 8 positions → exact
+    3-gram Jaccard >= 0.2 verify (integer cross-multiplied filter,
+    micro-rounded score — the dedup_ngram_jaccard conventions).
+
+    Scale shape: one range exchange for the sort, the window pairing is
+    two block-keyed equi-joins (block = pos div w; a pair within w
+    positions lands in the same or adjacent block — never a cartesian),
+    and the verify joins touch only the O(n·w) candidate rows."""
+    d = load_tables(spark, sf_dir)["documents"]
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    k = F.substring(
+        F.regexp_replace(
+            F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
+            "[^a-z0-9]+",
+            "",
+        ),
+        1,
+        _SNM_KEY_LEN,
+    )
+    keyed = d.select("doc_id", k.alias("k"))
+    pos = _global_pos(keyed, ["k", "doc_id"], parts).select("doc_id", "pos")
+    blk = pos.withColumn("blk", F.floor((F.col("pos") - 1) / _SNM_W))
+    r1 = blk.select(
+        F.col("doc_id").alias("d1"), F.col("pos").alias("p1"), "blk"
+    )
+    r2 = blk.select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2"), "blk"
+    )
+    cand = (
+        r1.join(r2, "blk")
+        .unionByName(r1.withColumn("blk", F.col("blk") + 1).join(r2, "blk"))
+        .filter(
+            (F.col("p2") > F.col("p1"))
+            & (F.col("p2") <= F.col("p1") + _SNM_W)
+        )
+        .select("d1", "d2")
+    )
+    sh = _shingles(d).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        cand.join(s1, "d1")
+        .join(s2, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    z1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    z2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    union_sz = F.col("sz1") + F.col("sz2") - F.col("c")
+    out = (
+        inter.join(z1, "d1")
+        .join(z2, "d2")
+        .filter(F.lit(5) * F.col("c") >= union_sz)
+        .select(
+            "d1",
+            "d2",
+            F.floor(F.col("c") / union_sz * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("jaccard_micro"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sh.unpersist()
+    return out

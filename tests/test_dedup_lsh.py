@@ -109,3 +109,84 @@ def test_span_dedup_drops_fully_duplicated_doc(spark):
     assert got[1]["flagged_r4"] == 10000 and got[1]["keep"] == 0
     assert got[2]["keep"] == 0
     assert got[3]["n_flagged"] == 0 and got[3]["keep"] == 1
+
+
+# ------------------------------------------------- sorted neighborhood
+def test_global_pos_is_exact_global_rank(spark):
+    from citation_graph_spark.operators.dedup import _global_pos
+
+    rows = [(i, f"k{i % 7:02d}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "k"])
+    got = {
+        r["doc_id"]: r["pos"]
+        for r in _global_pos(df, ["k", "doc_id"], 8).collect()
+    }
+    want = {
+        doc: i + 1
+        for i, (doc, _) in enumerate(
+            sorted(rows, key=lambda t: (t[1], t[0]))
+        )
+    }
+    assert got == want
+
+
+def test_sorted_neighborhood_matches_oracle_at_sf0001(duck, spark):
+    from citation_graph_spark.operators import ORACLES, QUERIES
+
+    got = {
+        (r["d1"], r["d2"], r["jaccard_micro"])
+        for r in QUERIES["dedup_sorted_neighborhood"](spark, SF_DIR).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duck.execute(
+            ORACLES["dedup_sorted_neighborhood"]
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_sorted_neighborhood_catches_prefix_near_dups(spark):
+    """Two docs sharing a long normalized prefix sort adjacent and the
+    Jaccard verify keeps them; an unrelated doc between unrelated keys
+    pairs with nothing."""
+    from citation_graph_spark.operators.dedup import (
+        _SNM_W,
+        _global_pos,
+        dedup_sorted_neighborhood,
+    )
+    import citation_graph_spark.operators.dedup as dd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base + " one extra tail"),
+        (2, base + " one extra tall"),
+        (3, "completely different words nothing shared here at all ok"),
+    ]
+    import pandas as pd
+    import os, tempfile
+
+    tmp = tempfile.mkdtemp()
+    os.makedirs(f"{tmp}", exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(f"{tmp}/documents.parquet")
+    # satisfy load_tables for the one table the query reads
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"]:
+        src = f"{SF_DIR}/{t}.parquet"
+        dst = f"{tmp}/{t}.parquet"
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(src, dst)
+    pairs = {
+        (r["d1"], r["d2"])
+        for r in dedup_sorted_neighborhood(spark, tmp).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)

@@ -667,3 +667,12 @@ def test_matching_round_shape(spark):
         s = plan_stats(matching_round_lineage(act, 1))
     assert s["cartesian"] == 0
     assert s["exchanges"] <= 8
+
+
+def test_sorted_neighborhood_block_joins_never_cartesian(stats):
+    # range exchange for the global rank, block-keyed candidate joins,
+    # shingle-keyed verify — a pos-inequality join falling back to
+    # nested-loop/cartesian would show up here
+    s = stats("dedup_sorted_neighborhood")
+    assert s["cartesian"] == 0
+    assert s["exchanges"] <= 14

@@ -73,6 +73,7 @@ AUDIT = [
     ("densest_peel_round", "one densest-subgraph peel round: degree threshold + two semi-joins of the edge state"),
     ("mis_round", "one Luby MIS round: two semi-joins + neighbor-min groupBy + winner filter"),
     ("matching_round", "one matching round: endpoint windows + (a,b) groupBy conjunction"),
+    ("dedup_sorted_neighborhood", "sorted-neighborhood dedup: range-exchange rank + block-keyed window pairing + shingle verify"),
 ]
 
 
