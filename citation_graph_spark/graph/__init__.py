@@ -15,6 +15,7 @@ from citation_graph_spark.graph.traversal import (
     bfs_per_source,
     personalized_pagerank,
     sssp,
+    widest_paths,
 )
 from citation_graph_spark.graph.kcore import k_core
 from citation_graph_spark.graph.ktruss import k_truss
@@ -52,6 +53,7 @@ __all__ = [
     "katz_centrality",
     "strongly_connected_components",
     "sssp",
+    "widest_paths",
     "exact_balls",
     "hyperball",
     "louvain_local_moves",

@@ -441,3 +441,122 @@ def _ppr(
 
     e.unpersist()
     return ranks.select("vid", F.col("rank").alias("score"))
+
+
+_WIDEST_INF = 4611686018427387904  # 2^62 — internal "unbounded" capacity
+
+
+def widest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iter: int = 30,
+    directed: bool = False,
+    num_partitions: int | None = None,
+    metrics_path: str | None = None,
+) -> DataFrame:
+    """Multi-source widest (bottleneck / maximum-capacity) paths over
+    positive integer edge capacities in the ``weight`` column:
+    ``(vid: long, width: long)`` for every vertex reachable from
+    ``seeds`` within ``max_iter`` relaxation rounds — the maximum over
+    paths of the minimum edge capacity along the path, using at most
+    ``max_iter`` edges (the state the round-capped SQL oracle
+    mirrors). Seeds report the documented sentinel ``width = -1``
+    (unbounded). The max-bandwidth-route / percolation primitive over
+    the same edge table SSSP runs on.
+
+    Delta-optimized max-min Bellman-Ford — the dual of ``sssp`` above
+    (max/least instead of min/plus; both are semiring relaxations, so
+    the frontier argument carries over verbatim): each round relaxes
+    only the out-edges of vertices whose width improved last round.
+    """
+    with iterative_kernel_conf(edges.sparkSession):
+        return _widest(
+            edges, seeds, max_iter, directed, num_partitions, metrics_path
+        )
+
+
+def _widest(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iter: int,
+    directed: bool,
+    num_partitions: int | None,
+    metrics_path: str | None,
+) -> DataFrame:
+    spark = edges.sparkSession
+    metrics = MetricsLogger(metrics_path, "widest")
+
+    e0 = edges.select("src", "dst", F.col("weight").cast("long").alias("w"))
+    if not directed:
+        e0 = e0.unionByName(
+            edges.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                F.col("weight").cast("long").alias("w"),
+            )
+        )
+    e0 = e0.persist()
+    n_edges = e0.count()
+    if num_partitions is None:
+        num_partitions = auto_partitions(spark, n_edges)
+    e = e0.repartition(num_partitions, "src").persist()
+    e.count()
+    e0.unpersist()
+
+    cap = (
+        seeds.select("vid")
+        .distinct()
+        .withColumn("width", F.lit(_WIDEST_INF).cast("long"))
+        .repartition(num_partitions, "vid")
+        .localCheckpoint(eager=True)
+    )
+    frontier = cap
+
+    with shuffle_partitions_conf(spark, num_partitions):
+        for it in range(1, max_iter + 1):
+            t0 = time.monotonic()
+            cand = (
+                e.join(frontier, e["src"] == frontier["vid"])
+                .select(
+                    F.col("dst").alias("vid"),
+                    F.least("width", "w").alias("cand"),
+                )
+                .groupBy("vid")
+                .agg(F.max("cand").alias("cand"))
+            )
+            merged = cap.join(cand, "vid", "full").select(
+                "vid",
+                # greatest() skips NULLs: max-ignoring-unreached
+                F.greatest("width", "cand").alias("new_w"),
+                F.col("width").alias("old_w"),
+            )
+            improved = (
+                merged.filter(
+                    F.col("old_w").isNull()
+                    | (F.col("new_w") > F.col("old_w"))
+                )
+                .select("vid", F.col("new_w").alias("width"))
+                .repartition(num_partitions, "vid")
+                .localCheckpoint(eager=True)
+            )
+            n_improved = improved.count()
+            metrics.log(
+                it, improved=n_improved, wall_s=round(time.monotonic() - t0, 4)
+            )
+            if n_improved == 0:
+                break
+            cap = (
+                merged.select("vid", F.col("new_w").alias("width"))
+                .repartition(num_partitions, "vid")
+                .localCheckpoint(eager=True)
+            )
+            frontier = improved
+
+    e.unpersist()
+    return cap.select(
+        "vid",
+        F.when(F.col("width") == _WIDEST_INF, F.lit(-1))
+        .otherwise(F.col("width"))
+        .cast("long")
+        .alias("width"),
+    )

@@ -1632,3 +1632,78 @@ def graph_part_vertex_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("matched") == 1)
         .select("vid")
     )
+
+
+# --------------------------------------------------------------------------
+_WIDEST_INF = 4611686018427387904  # 2^62, graph/traversal.py sentinel
+
+
+@register(
+    "graph_part_widest_path",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    wedges AS (
+      SELECT a.pk AS src, b.pk AS dst, count(*) AS w
+      FROM wb a JOIN wb b
+        ON a.okey = b.okey AND a.brand = b.brand AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+    ),
+    ex AS (
+      SELECT src, dst, w FROM wedges
+      UNION ALL SELECT dst, src, w FROM wedges
+      UNION ALL SELECT vid, vid, {_WIDEST_INF} FROM verts
+    ),
+    caps(it, v, d) AS (
+      SELECT 0, vid,
+             CASE WHEN {_SEED_PRED} THEN cast({_WIDEST_INF} AS BIGINT)
+                  ELSE NULL END
+      FROM verts
+      UNION ALL
+      SELECT it, v, d FROM (
+        SELECT s.it + 1 AS it, x.dst AS v,
+               max(CASE WHEN s.d IS NULL THEN NULL
+                        ELSE least(s.d, x.w) END) AS d
+        FROM caps s JOIN ex x ON s.v = x.src
+        WHERE s.it < {_SSSP_ITERS}
+        GROUP BY s.it + 1, x.dst
+      )
+    )
+    SELECT v AS vid,
+           CAST(CASE WHEN d = {_WIDEST_INF} THEN -1 ELSE d END AS BIGINT)
+             AS width
+    FROM caps WHERE it = {_SSSP_ITERS} AND d IS NOT NULL
+    """,
+)
+def graph_part_widest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source widest (bottleneck) paths from the every-100th-part
+    seed set, edge capacity = co-order multiplicity, capped at 12
+    relaxation rounds on both engines — the max-bandwidth-route dual of
+    graph_part_sssp (same semiring relaxation with (max, min) replacing
+    (min, +); the oracle carries the full width vector per round via
+    unbounded self-loops, and NULL capacities are explicitly guarded
+    because SQL least() skips NULLs)."""
+    from citation_graph_spark.graph import widest_paths
+
+    t = load_tables(spark, sf_dir)
+    items = t["lineitem"].select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    wb = items.join(
+        F.broadcast(t["part"].select("p_partkey", "p_brand")),
+        F.col("pk") == F.col("p_partkey"),
+    ).select("okey", "pk", F.col("p_brand").alias("brand"))
+    a = wb.select("okey", "brand", F.col("pk").alias("src"))
+    b = wb.select("okey", "brand", F.col("pk").alias("dst"))
+    wedges = (
+        a.join(b, ["okey", "brand"])
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    verts = (
+        wedges.select(F.col("src").alias("vid"))
+        .unionByName(wedges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    seeds = verts.filter(F.col("vid") % 100 == 0)
+    return widest_paths(wedges, seeds, max_iter=_SSSP_ITERS, directed=False)

@@ -284,3 +284,68 @@ def test_weighted_label_propagation_matches_oracle(spark):
         .tolist()
     )
     assert got == weighted_lp_oracle(n, el, max_iter=6)
+
+
+# ----------------------------------------------------------- widest paths
+def _widest_oracle(n, el, seeds, max_iter, directed=False):
+    """Synchronous max-min Bellman-Ford, round-capped, pure python."""
+    INF = 4611686018427387904
+    adj = {}
+    for e in el:
+        s, d, w = int(e[0]), int(e[1]), int(e[2]) if len(e) > 2 else 1
+        adj.setdefault(s, []).append((d, w))
+        if not directed:
+            adj.setdefault(d, []).append((s, w))
+    cap = {v: INF for v in seeds}
+    for _ in range(max_iter):
+        new = dict(cap)
+        for u, c in cap.items():
+            for v, w in adj.get(u, []):
+                cand = min(c, w)
+                if cand > new.get(v, -1):
+                    new[v] = cand
+        if new == cap:
+            break
+        cap = new
+    return {v: (-1 if c == INF else c) for v, c in cap.items()}
+
+
+def test_widest_hand_graph(spark):
+    from citation_graph_spark.graph import widest_paths
+
+    # 0 -5- 1 -2- 3 ; 0 -3- 2 -3- 3 : widest 0->3 is min(3,3)=3 not 2
+    el = [(0, 1, 5.0), (1, 3, 2.0), (0, 2, 3.0), (2, 3, 3.0)]
+    seeds = spark.createDataFrame([(0,)], "vid long")
+    got = {
+        r["vid"]: r["width"]
+        for r in widest_paths(edges_df(spark, el), seeds).collect()
+    }
+    assert got == {0: -1, 1: 5, 2: 3, 3: 3}
+
+
+def test_widest_matches_bruteforce_on_random(spark):
+    from citation_graph_spark.graph import widest_paths
+
+    el = [
+        (s, d, float((s * 7 + d * 13) % 9 + 1))
+        for s, d, _ in random_graph(60, 400, seed=5)
+    ]
+    seeds_l = [0, 17, 42]
+    seeds = spark.createDataFrame([(v,) for v in seeds_l], "vid long")
+    got = {
+        r["vid"]: r["width"]
+        for r in widest_paths(edges_df(spark, el), seeds, max_iter=12).collect()
+    }
+    assert got == _widest_oracle(60, el, seeds_l, 12)
+
+
+def test_widest_round_cap_matches_synchronous_state(spark):
+    from citation_graph_spark.graph import widest_paths
+
+    el = [(i, i + 1, float(i % 4 + 1)) for i in range(20)]  # a path
+    seeds = spark.createDataFrame([(0,)], "vid long")
+    got = {
+        r["vid"]: r["width"]
+        for r in widest_paths(edges_df(spark, el), seeds, max_iter=3).collect()
+    }
+    assert got == _widest_oracle(21, el, [0], 3)
