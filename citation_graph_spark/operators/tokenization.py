@@ -262,3 +262,92 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("count"))
     )
     return bpe_learn(words, _BPE_MERGES)
+
+
+# --------------------------------------------------------------------------
+# BPE ENCODING — apply a learned merge table to the corpus. The learn
+# loop above is iterative; encoding is not: the rank-ordered rule chain
+# compiles into one nested column expression (one fold per rule), so
+# the whole corpus encodes in a single narrow pass — zero shuffles, no
+# Python in the row path, trivially parallel at any scale.
+def _encode_word_expr(rules: list[tuple[str, str]], inner: str) -> str:
+    """Chain one left-to-right non-overlapping merge fold per rule, in
+    rank order, around the char-split expression ``inner`` — the exact
+    per-round merge semantics of ``bpe_learn``."""
+    for i, (left, right) in enumerate(rules):
+        la, rb = _sym_lit(left), _sym_lit(right)
+        inner = (
+            f"aggregate({inner}, cast(array() as array<string>), "
+            f"(a{i}, x{i}) -> case "
+            f"when size(a{i}) > 0 and element_at(a{i}, -1) = {la} "
+            f"and x{i} = {rb} "
+            f"then concat(slice(a{i}, 1, size(a{i}) - 1), "
+            f"array(concat({la}, {rb}))) "
+            f"else concat(a{i}, array(x{i})) end)"
+        )
+    return inner
+
+
+def bpe_encode(docs: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
+    """Encode ``documents(doc_id, text)`` with a rank-ordered merge
+    list: per doc ``(doc_id, n_words, n_chars, n_subwords)`` plus the
+    encoded subword array. Rules apply per word (BPE never merges
+    across whitespace), each rule left-to-right non-overlapping —
+    replaying the training fold exactly, so a corpus encoded with its
+    own learned table reproduces the trainer's final symbol state."""
+    words_expr = (
+        r"filter(split(trim(coalesce(text, '')), '\\s+'),"
+        " w -> length(w) > 0)"
+    )
+    split_chars = "split(w, '')"
+    enc = (
+        f"transform({words_expr}, "
+        f"w -> {_encode_word_expr(rules, split_chars)})"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({words_expr})").cast("long").alias("n_words"),
+        F.expr(f"aggregate({words_expr}, 0L, (s, w) -> s + length(w))")
+        .cast("long")
+        .alias("n_chars"),
+        F.expr(f"size(flatten({enc}))").cast("long").alias("n_subwords"),
+        F.expr(f"flatten({enc})").alias("subwords"),
+    )
+
+
+@register("bpe_encode_docs")
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoded with its own learned 20-rule BPE table: per doc
+    ``(doc_id, n_words, n_chars, n_subwords, compression_milli)`` —
+    the tokenizer-serving stage after ``bpe_learn_merges``. Rows-only
+    for the driver gate (the rule table comes from the iterative learn
+    loop); exactness is pinned by tests/test_tokenization.py's
+    sequential learn+encode replay."""
+    d = load_tables(spark, sf_dir)["documents"]
+    words = (
+        d.select(F.explode(_toks()).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    rules = [
+        (r["left"], r["right"])
+        for r in bpe_learn(words, _BPE_MERGES).orderBy("rank").collect()
+    ]
+    enc = bpe_encode(d.select("doc_id", "text"), rules)
+    return enc.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        "n_subwords",
+        # chars-per-subword in milli — the compression the table buys
+        F.when(
+            F.col("n_subwords") > 0,
+            F.floor(
+                F.col("n_chars") * 1000 / F.col("n_subwords") + F.lit(0.5)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("compression_milli"),
+    )

@@ -172,3 +172,123 @@ def test_bpe_learn_stops_when_nothing_repeats(spark):
 
     words = spark.createDataFrame([("xy", 1), ("zq", 1)], "word string, count long")
     assert bpe_learn(words, 10).count() == 0
+
+
+def _bpe_encode_oracle(text_by_doc, rules):
+    """Apply rank-ordered rules per word, left-to-right
+    non-overlapping — sequential replay of bpe_encode."""
+    out = {}
+    for doc_id, text in text_by_doc.items():
+        words = [w for w in (text or "").strip().split() if w]
+        subwords = []
+        for w in words:
+            syms = list(w)
+            for l, r in rules:
+                acc = []
+                for x in syms:
+                    if acc and acc[-1] == l and x == r:
+                        acc[-1] = l + r
+                    else:
+                        acc.append(x)
+                syms = acc
+            subwords.extend(syms)
+        out[doc_id] = (
+            len(words),
+            sum(len(w) for w in words),
+            len(subwords),
+            subwords,
+        )
+    return out
+
+
+def test_bpe_encode_matches_sequential_replay(spark):
+    from citation_graph_spark.operators.tokenization import (
+        bpe_encode,
+        bpe_learn,
+    )
+
+    texts = {
+        1: "low lower lowest newest newest widest",
+        2: "the newest of the new low rows",
+        3: "o'brien's     paper  ",
+        4: "",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    wc = {}
+    for t in texts.values():
+        for w in t.strip().split():
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    words = spark.createDataFrame(list(wc.items()), "word string, count long")
+    rules = [
+        (r["left"], r["right"])
+        for r in bpe_learn(words, 10).orderBy("rank").collect()
+    ]
+    assert rules  # the fixture must actually learn something
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["n_chars"],
+            r["n_subwords"],
+            list(r["subwords"]),
+        )
+        for r in bpe_encode(docs, rules).collect()
+    }
+    assert got == _bpe_encode_oracle(texts, rules)
+
+
+def test_bpe_encode_reproduces_trainer_final_state(spark):
+    """Encoding the training vocabulary with its own learned table
+    must land on the trainer's final symbol sequences."""
+    from citation_graph_spark.operators.tokenization import (
+        bpe_encode,
+        bpe_learn,
+    )
+
+    wc = {"banana": 4, "bandana": 3, "ban": 5, "nab": 2}
+    words = spark.createDataFrame(list(wc.items()), "word string, count long")
+    rules = [
+        (r["left"], r["right"])
+        for r in bpe_learn(words, 8).orderBy("rank").collect()
+    ]
+    # trainer final state via the sequential learn replay
+    learn_rules = _bpe_learn_oracle(wc, 8)
+    assert [(l, r) for _, l, r, _ in learn_rules] == rules
+    vocab = [(list(w), None) for w in wc]
+    for _, l, r, _ in learn_rules:
+        out = []
+        for syms, _c in vocab:
+            acc = []
+            for x in syms:
+                if acc and acc[-1] == l and x == r:
+                    acc[-1] = l + r
+                else:
+                    acc.append(x)
+            out.append((acc, None))
+        vocab = out
+    want = {w: syms for (syms, _), w in zip(vocab, wc)}
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(wc)], "doc_id long, text string"
+    )
+    got = {
+        texts: list(r["subwords"])
+        for r, texts in zip(
+            bpe_encode(docs, rules).orderBy("doc_id").collect(), wc
+        )
+    }
+    assert got == want
+
+
+def test_bpe_encode_plan_is_shuffle_free(spark):
+    from citation_graph_spark.operators.tokenization import bpe_encode
+
+    docs = spark.createDataFrame([(1, "a b ab")], "doc_id long, text string")
+    plan = (
+        bpe_encode(docs, [("a", "b")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
