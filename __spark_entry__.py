@@ -66,7 +66,7 @@ _GATE_PRIORITY = [
     "graph_part_vertex_cover", "dedup_sorted_neighborhood",
     "graph_part_widest_path",
     "doc_bigram_typicality",
-    "bpe_learn_merges", "bpe_encode_docs",
+    "bpe_learn_merges", "bpe_encode_docs", "doc_keywords_tfidf",
     "corpus_wl_refinement", "graph_part_eigenvector", "graph_part_closeness",
     "corpus_eigenvector",
     "corpus_distance_distribution",

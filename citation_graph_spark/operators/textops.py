@@ -465,3 +465,89 @@ def bigram_typicality_scores(d: DataFrame) -> DataFrame:
             .alias("typ_micro"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "doc_keywords_tfidf",
+    oracle=r"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id,
+               lower(unnest(string_split_regex(trim(coalesce(text, '')),
+                                               '\s+'))) AS term
+        FROM documents
+      ) WHERE length(term) > 0
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf,
+             CAST(t.tf * n.n AS DOUBLE) / d.df AS score
+      FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+      WHERE d.df < n.n
+    )
+    SELECT doc_id, term, tf,
+           CAST(floor(score * 1000 + 0.5) AS BIGINT) AS score_milli,
+           rk
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def doc_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keywords, top-5 — the deterministic analog
+    of the reference's LLM keyword extraction stage
+    (scripts/topics/agenerate_keywords.py:38-98 prompts an LLM per
+    article; here the corpus itself scores the terms). IDF is the raw
+    N/df ratio with a universal-term cut (a term in EVERY doc carries
+    zero information and is dropped; rarer stopwords are simply
+    outranked), so the score tf·N/df needs ONE float rounding step
+    (integer product, one division) — bit-identical on both engines;
+    ordering ties break on the term.
+
+    Scale shape: two map-side-combined aggregates (tf, df), one
+    term-keyed join (vocabulary-sized right side — at corpus scale this
+    is the natural shuffle key; hub terms cost one combiner row per
+    partition, never a hot reduce key), one per-doc window for the
+    top-5."""
+    d = load_tables(spark, sf_dir)["documents"]
+    n_docs = d.count()
+    terms = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+        ).alias("t0"),
+    )
+    tf = (
+        terms.select("doc_id", F.lower(F.col("t0")).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .filter(F.col("df") < F.lit(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.floor(F.col("score") * 1000 + F.lit(0.5))
+            .cast("long")
+            .alias("score_milli"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -46,3 +46,41 @@ def test_bigram_typicality_penalizes_anomalous_continuation(spark):
     # doc3: (the dog: 1/3 -> 333333) + (dog sat: 1e6) -> mean 666666
     assert got[3] == (333_333 + 1_000_000) // 2
     assert got[3] < got[1]
+
+
+def test_tfidf_keywords_rank_rare_terms_first(spark, tmp_path):
+    """Hand corpus: a term unique to one doc must outrank a term shared
+    with another doc; a universal term never appears."""
+    import os
+    import pandas as pd
+
+    texts = {
+        1: "common zebra zebra shared",
+        2: "common shared other",
+        3: "common lonely",
+    }
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [len(t) for t in texts.values()],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"]:
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        if os.path.exists(src):
+            os.symlink(src, tmp_path / f"{t}.parquet")
+    from citation_graph_spark.operators import QUERIES
+
+    rows = QUERIES["doc_keywords_tfidf"](spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["rk"], r["term"]))
+    terms = {t for _, t in by_doc[1]}
+    assert "common" not in terms  # universal term cut
+    # zebra: tf=2, df=1 → score 6.0*2=... outranks shared (tf=1, df=2)
+    assert sorted(by_doc[1])[0][1] == "zebra"
+    assert sorted(by_doc[3])[0][1] == "lonely"
