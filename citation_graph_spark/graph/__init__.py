@@ -4,6 +4,7 @@ from citation_graph_spark.graph.pagerank import pagerank
 from citation_graph_spark.graph.components import connected_components
 from citation_graph_spark.graph.communities import label_propagation
 from citation_graph_spark.graph.triangles import four_clique_counts, triangle_counts
+from citation_graph_spark.graph.coloring import greedy_coloring
 from citation_graph_spark.graph.matching import maximal_matching
 from citation_graph_spark.graph.mis import maximal_independent_set
 from citation_graph_spark.graph.densest import (
@@ -41,6 +42,7 @@ __all__ = [
     "densest_subgraph_rounds",
     "maximal_independent_set",
     "maximal_matching",
+    "greedy_coloring",
     "densest_subgraph_vertices",
     "triangle_counts",
     "bfs_distances",

@@ -1707,3 +1707,103 @@ def graph_part_widest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = verts.filter(F.col("vid") % 100 == 0)
     return widest_paths(wedges, seeds, max_iter=_SSSP_ITERS, directed=False)
+
+
+# --------------------------------------------------------------------------
+# Greedy graph coloring — Jones–Plassmann deterministic-priority
+# rounds (graph/coloring.py). The oracle replays the identical
+# synchronous schedule as a recursive CTE: the working set carries one
+# card per vertex (nb = vid, so its color is visible to both endpoint
+# partitions) plus the permanent symmetric adjacency; winner flags are
+# the MIS windows restricted to uncolored endpoints, and the mex is
+# computed with three stacked windows (first-occurrence flag over
+# (v, color), a running count of distinct colors strictly before, and
+# a first-gap minimum with a total-count fallback) — no aggregates in
+# the recursive term, everything bit-exact int64.
+@register(
+    "graph_part_coloring",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    peel(it, kind, v, nb, color, cr) AS (
+      SELECT 1, 0, vid, vid, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      FROM verts
+      UNION ALL SELECT 1, 1, src, dst, NULL, NULL FROM sym
+      UNION ALL
+      SELECT it + 1, kind, v, nb,
+             CASE WHEN kind = 0 AND win THEN mex ELSE color END,
+             CASE WHEN kind = 0 AND win THEN it ELSE cr END
+      FROM (
+        SELECT *,
+               coalesce(min(CASE WHEN d AND col_nb <> coalesce(pre, 0)
+                                 THEN coalesce(pre, 0) END)
+                          OVER (PARTITION BY v),
+                        coalesce(max(CASE WHEN qual THEN tot END)
+                                   OVER (PARTITION BY v), 0)) AS mex
+        FROM (
+          SELECT *,
+                 sum(CASE WHEN d THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY v, qual ORDER BY col_nb, nb
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pre,
+                 sum(CASE WHEN d THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY v, qual) AS tot
+          FROM (
+            SELECT *,
+                   CASE WHEN qual THEN
+                     (row_number() OVER (
+                        PARTITION BY v, qual, col_nb ORDER BY nb) = 1)
+                   ELSE FALSE END AS d
+            FROM (
+              SELECT *,
+                     (kind = 1 AND win AND col_nb IS NOT NULL) AS qual
+              FROM (
+                SELECT *,
+                       (col_v IS NULL
+                        AND (minq_nb IS NULL OR q_v < minq_nb)) AS win
+                FROM (
+                  SELECT *,
+                         min(CASE WHEN kind = 1 AND col_nb IS NULL
+                                  THEN q_nb END)
+                           OVER (PARTITION BY v) AS minq_nb
+                  FROM (
+                    SELECT *,
+                           max(CASE WHEN kind = 0 THEN color END)
+                             OVER (PARTITION BY v) AS col_v,
+                           max(CASE WHEN kind = 0 THEN color END)
+                             OVER (PARTITION BY nb) AS col_nb,
+                           sum(CASE WHEN kind = 0 AND color IS NULL
+                                    THEN 1 ELSE 0 END) OVER () AS n_unc
+                    FROM (
+                      SELECT it, kind, v, nb, color, cr,
+                             {_MIS_Q.format(v='v')} AS q_v,
+                             {_MIS_Q.format(v='nb')} AS q_nb
+                      FROM peel WHERE it <= 100
+                    ) q0
+                  ) q1
+                ) q2
+              ) q3
+            ) q4
+          ) q5
+        ) q6
+      ) q7
+      WHERE n_unc > 0
+    )
+    SELECT vt.vid,
+           CAST(coalesce(c.color, -1) AS BIGINT) AS color,
+           CAST(coalesce(c.cr, 0) AS BIGINT) AS color_round
+    FROM verts vt LEFT JOIN (
+      SELECT DISTINCT v, color, cr
+      FROM peel WHERE kind = 0 AND color IS NOT NULL
+    ) c ON vt.vid = c.v
+    """,
+)
+def graph_part_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy (Jones–Plassmann) coloring of the co-order part graph —
+    the conflict-free scheduling primitive: parts with equal colors are
+    pairwise never co-ordered, so each color class can be processed /
+    updated / locked concurrently with zero conflicts. Shares the MIS
+    winner plan per round plus one winner-keyed mex aggregation."""
+    from citation_graph_spark.graph import greedy_coloring
+
+    edges = part_graph_edges(spark, sf_dir)
+    return greedy_coloring(edges, max_iter=100)

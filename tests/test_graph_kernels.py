@@ -536,3 +536,82 @@ def test_matching_empty_and_single_edge(spark):
         (0, 1, 1),
         (1, 0, 1),
     }
+
+
+# ----------------------------------------------------- greedy coloring
+def _coloring_oracle(edge_list, max_iter=100):
+    """Sequential replay of the Jones–Plassmann schedule with the MIS
+    priority hash and greedy mex."""
+    P, M, S = 2147483647, 8388608, 1099511627776
+
+    def qq(v, r):
+        a, b = 48271 * r % P, 16807 * r % P
+        return ((v % P) * a + b) % P % M * S + v
+
+    adj = {}
+    for s, d in edge_list:
+        s, d = int(s), int(d)
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    verts = sorted(adj)
+    color, cround = {}, {}
+    active = set(verts)
+    for it in range(1, max_iter + 1):
+        if not active:
+            break
+        winners = [
+            v
+            for v in active
+            if all(qq(v, it) < qq(n, it) for n in adj[v] if n in active)
+        ]
+        for w in winners:
+            used = sorted({color[n] for n in adj[w] if n in color})
+            mex = 0
+            for c in used:
+                if c == mex:
+                    mex += 1
+            color[w] = mex
+            cround[w] = it
+        active -= set(winners)
+    return {v: (color.get(v, -1), cround.get(v, 0)) for v in verts}
+
+
+@pytest.mark.parametrize("name", ["random_200", "random_500_skew"])
+def test_coloring_matches_sequential_replay(spark, name):
+    from citation_graph_spark.graph import greedy_coloring
+
+    n, el = GRAPHS[name]
+    got = {
+        r["vid"]: (r["color"], r["color_round"])
+        for r in greedy_coloring(edges_df(spark, el)).collect()
+    }
+    assert got == _coloring_oracle(el)
+
+
+def test_coloring_is_proper_and_bounded(spark):
+    from citation_graph_spark.graph import greedy_coloring
+
+    n, el = GRAPHS["two_cliques_bridge"]
+    rows = greedy_coloring(edges_df(spark, el)).collect()
+    cm = {r["vid"]: r["color"] for r in rows}
+    deg = {}
+    for s, d in el:
+        if s != d:
+            deg[s] = deg.get(s, 0) + 1
+            deg[d] = deg.get(d, 0) + 1
+    # proper: no edge joins equal colors
+    assert all(cm[s] != cm[d] for s, d in el if s != d)
+    # greedy bound: color(v) <= deg(v)
+    assert all(c <= deg[v] for v, c in cm.items())
+    # every vertex colored at the fixpoint
+    assert all(c >= 0 for c in cm.values())
+
+
+def test_coloring_clique_uses_exactly_k_colors(spark):
+    from citation_graph_spark.graph import greedy_coloring
+
+    k = 7
+    el = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    rows = greedy_coloring(edges_df(spark, el)).collect()
+    assert sorted(r["color"] for r in rows) == list(range(k))
