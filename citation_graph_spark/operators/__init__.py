@@ -43,6 +43,7 @@ def register(name: str, oracle: str | None = None):
 def load_all() -> None:
     """Import every operator module so registration side-effects run."""
     from citation_graph_spark.operators import (  # noqa: F401
+        behavior,
         bibliometrics,
         clustering,
         curation,
