@@ -59,6 +59,11 @@ HEADLINE = [
     # SCC→condensation-relaxation composition get their own numbers
     "corpus_hyperball",
     "corpus_generations",
+    # r4 session 4: the symmetry-breaking round kernel (JP coloring =
+    # MIS winner plan + mex per round) and the sort-order dedup rung
+    # (range-exchange global rank + block-keyed window pairing)
+    "graph_part_coloring",
+    "dedup_sorted_neighborhood",
 ]
 
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

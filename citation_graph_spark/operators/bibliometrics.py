@@ -705,3 +705,60 @@ def corpus_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     schedule as a recursive CTE over the symmetric edge state, all
     thresholds pure int64."""
     return densest_subgraph_rounds(_dedges(spark), max_iter=100)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "corpus_g_index",
+    oracle=f"""
+    WITH {_CORPUS_CTE},
+    ced AS (SELECT DISTINCT src, dst FROM cedges),
+    cites AS (SELECT dst AS vid, count(*) AS cites FROM ced GROUP BY dst),
+    percited AS (
+      SELECT v.repo, v.vid, coalesce(c.cites, 0) AS cites
+      FROM verts v LEFT JOIN cites c ON v.vid = c.vid
+    ),
+    ranked AS (
+      SELECT repo, cites,
+             row_number() OVER (
+               PARTITION BY repo ORDER BY cites DESC, vid
+             ) AS rn,
+             cast(sum(cites) OVER (
+               PARTITION BY repo ORDER BY cites DESC, vid
+             ) AS BIGINT) AS cum
+      FROM percited
+    )
+    SELECT repo,
+           max(CASE WHEN cum >= rn * rn THEN rn ELSE 0 END) AS g_index
+    FROM ranked GROUP BY repo
+    """,
+)
+def corpus_g_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-repo g-index (Egghe 2006): the largest g such that the
+    repo's g most-cited documents total >= g² citations — the
+    heavy-tail-sensitive companion to corpus_h_index (same grouping
+    the reference's gather_authors.py applies to its cited_by counts).
+    Exact integers; one count shuffle + one per-repo window cumsum."""
+    vertices, _ = corpus_tables(spark)
+    e = _dedges(spark)
+    cites = e.groupBy(F.col("dst").alias("cvid")).agg(
+        F.count(F.lit(1)).alias("cites")
+    )
+    percited = (
+        vertices.select("repo", "vid")
+        .join(cites, F.col("vid") == F.col("cvid"), "left")
+        .select("repo", "vid", F.coalesce("cites", F.lit(0)).alias("cites"))
+    )
+    w = Window.partitionBy("repo").orderBy(F.desc("cites"), F.asc("vid"))
+    return (
+        percited.withColumn("rn", F.row_number().over(w))
+        .withColumn("cum", F.sum("cites").over(w))
+        .groupBy("repo")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("cum") >= F.col("rn") * F.col("rn"), F.col("rn")
+                ).otherwise(F.lit(0))
+            ).alias("g_index")
+        )
+    )
