@@ -96,3 +96,80 @@ def lang_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) <= "18"
     ).select("lang", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Weighted (token-budget-proportional) systematic sampling — the
+# integer-exact alternative to Efraimidis–Spirakis exponential keys
+# (whose pow/log floats are NOT bit-identical across engines): lay the
+# documents on a line in doc_id order, each owning a segment of width
+# = its weight, and take every (total/k)-th point. Long documents can
+# be hit multiple times — n_hits IS the importance weight a sampler
+# must carry. Everything is int64, so both engines agree exactly.
+_SAMPLE_K = 100
+
+
+def _global_cumsum(df: DataFrame, w_col: str, n_parts: int) -> DataFrame:
+    """Exact inclusive global prefix sum of ``w_col`` in doc_id order
+    with no single-partition window: range-repartition on doc_id,
+    local cumsum per range, broadcast per-partition prefix offsets
+    (one row per partition is the only driver-sized state)."""
+    from pyspark.sql import Window
+
+    part = df.repartitionByRange(n_parts, F.col("doc_id"))
+    part = part.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy("doc_id")
+    local = part.withColumn("_lcum", F.sum(w_col).over(w))
+    tots = local.groupBy("_pid").agg(F.max("_lcum").alias("_tot"))
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = tots.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(wo), F.lit(0))
+    ).select("_pid", "_off")
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn("cum", (F.col("_lcum") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lcum", "_off")
+    )
+
+
+@register(
+    "doc_weighted_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS wt FROM documents
+    ),
+    c AS (
+      SELECT doc_id, wt,
+             CAST(sum(wt) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+      FROM w
+    ),
+    t AS (SELECT greatest(CAST(sum(wt) AS BIGINT) // {_SAMPLE_K}, 1)
+            AS step FROM w)
+    SELECT doc_id, wt, cum,
+           cum // step - (cum - wt) // step AS n_hits
+    FROM c CROSS JOIN t
+    WHERE cum // step - (cum - wt) // step >= 1
+    """,
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic length-weighted sample of ~100 documents: every
+    (total_chars/k)-th character position selects its owning document;
+    ``n_hits`` (multiplicity) is the exact importance weight. Pure
+    integer arithmetic on an exact distributed prefix sum — any engine
+    recomputes the identical sample (the auditability contract of
+    doc_split_assign, extended to weighted draws).
+
+    Physical shape: one range exchange + per-range cumsum window, one
+    broadcast of per-partition offsets, one scalar total."""
+    d = load_tables(spark, sf_dir)["documents"]
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    w = d.select("doc_id", F.col("n_chars").cast("long").alias("wt"))
+    cum = _global_cumsum(w, "wt", parts)
+    total = cum.agg(F.max("cum")).first()[0] or 0
+    step = max(total // _SAMPLE_K, 1)
+    n_hits = F.expr(f"cum div {step} - (cum - wt) div {step}")
+    return (
+        cum.withColumn("n_hits", n_hits.cast("long"))
+        .filter(F.col("n_hits") >= 1)
+        .select("doc_id", "wt", "cum", "n_hits")
+    )
