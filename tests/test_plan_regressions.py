@@ -676,3 +676,26 @@ def test_sorted_neighborhood_block_joins_never_cartesian(stats):
     s = stats("dedup_sorted_neighborhood")
     assert s["cartesian"] == 0
     assert s["exchanges"] <= 14
+
+
+def test_tfidf_keywords_keyed_joins_only(stats):
+    # tf/df aggregates + term-keyed join + per-doc window; the only
+    # nested-loop allowed is a 1-row scalar broadcast (none expected)
+    s = stats("doc_keywords_tfidf")
+    assert s["cartesian"] == 0
+    assert s["exchanges"] <= 10
+
+
+def test_weighted_sample_single_range_exchange(stats):
+    # range exchange for the prefix sum + broadcast offsets; never a
+    # second wide shuffle
+    s = stats("doc_weighted_sample")
+    assert s["cartesian"] == 0
+    assert s["broadcast_joins"] >= 1
+    assert s["exchanges"] <= 6
+
+
+def test_event_transitions_one_window_one_rollup(stats):
+    s = stats("event_transitions")
+    assert s["cartesian"] == 0
+    assert s["exchanges"] <= 4

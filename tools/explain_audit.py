@@ -74,6 +74,10 @@ AUDIT = [
     ("mis_round", "one Luby MIS round: two semi-joins + neighbor-min groupBy + winner filter"),
     ("matching_round", "one matching round: endpoint windows + (a,b) groupBy conjunction"),
     ("dedup_sorted_neighborhood", "sorted-neighborhood dedup: range-exchange rank + block-keyed window pairing + shingle verify"),
+    ("doc_keywords_tfidf", "TF-IDF keywords: two map-side aggregates + term-keyed join + per-doc top-5 window"),
+    ("doc_weighted_sample", "systematic weighted sample: one range exchange + per-range cumsum + broadcast offsets"),
+    ("event_transitions", "Markov transition counts: one user-keyed window + one pair rollup"),
+    ("event_retention_cohorts", "retention triangle: user-keyed min + distinct + join + tiny rollup"),
 ]
 
 
