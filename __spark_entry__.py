@@ -66,7 +66,8 @@ _GATE_PRIORITY = [
     "graph_part_vertex_cover", "dedup_sorted_neighborhood",
     "graph_part_widest_path", "graph_part_coloring",
     "event_funnel", "event_transitions", "event_retention_cohorts",
-    "corpus_g_index", "doc_weighted_sample",
+    "corpus_g_index", "doc_weighted_sample", "corpus_rich_club",
+    "corpus_reciprocity",
     "doc_bigram_typicality",
     "bpe_learn_merges", "bpe_encode_docs", "doc_keywords_tfidf",
     "corpus_wl_refinement", "graph_part_eigenvector", "graph_part_closeness",

@@ -762,3 +762,44 @@ def corpus_g_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g_index")
         )
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "corpus_reciprocity",
+    oracle=f"""
+    WITH {_CORPUS_CTE},
+    ced AS (SELECT DISTINCT src, dst FROM cedges),
+    r AS (
+      SELECT count(*) AS recip
+      FROM ced a JOIN ced b ON a.src = b.dst AND a.dst = b.src
+    ),
+    t AS (SELECT count(*) AS m FROM ced)
+    SELECT t.m AS n_edges,
+           r.recip AS n_reciprocated,
+           CAST(CASE WHEN t.m > 0 THEN 1000000 * r.recip // t.m
+                     ELSE 0 END AS BIGINT) AS reciprocity_micro
+    FROM t CROSS JOIN r
+    """,
+)
+def corpus_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity of the directed citation graph: the fraction
+    of distinct citation edges whose reverse edge also exists (mutual
+    reference between two source files) — exact integers via one
+    reversed-key self-join. Citation networks are near-acyclic, so a
+    high value flags circular-include structure worth surfacing."""
+    _, edges = corpus_tables(spark)
+    ced = edges.select("src", "dst").distinct()
+    rev = ced.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = ced.join(rev, ["src", "dst"], "left_semi").count()
+    m = ced.count()
+    return edges.sparkSession.createDataFrame(
+        [
+            (
+                m,
+                recip,
+                (1000000 * recip) // m if m > 0 else 0,
+            )
+        ],
+        "n_edges long, n_reciprocated long, reciprocity_micro long",
+    )

@@ -525,3 +525,88 @@ def graph_part_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer rule round by round."""
     edges = part_graph_edges(spark, sf_dir).select("src", "dst")
     return louvain_local_moves(edges, rounds=_LOUVAIN_ROUNDS)
+
+
+# --------------------------------------------------------------------------
+@register(
+    "corpus_rich_club",
+    oracle=f"""
+    WITH {_CORPUS_CTE},
+    deg AS (SELECT src AS vid, count(*) AS d FROM csym GROUP BY src),
+    ks AS (SELECT DISTINCT d AS k FROM deg),
+    nodes AS (
+      SELECT k.k, count(*) AS n_k
+      FROM ks k JOIN deg ON deg.d > k.k
+      GROUP BY k.k
+    ),
+    rich_edges AS (
+      SELECT k.k, count(*) AS e2_k   -- symmetric: 2x undirected count
+      FROM ks k
+        JOIN csym e ON TRUE
+        JOIN deg ds ON e.src = ds.vid AND ds.d > k.k
+        JOIN deg dt ON e.dst = dt.vid AND dt.d > k.k
+      GROUP BY k.k
+    )
+    SELECT n.k, n.n_k,
+           CAST(coalesce(r.e2_k, 0) // 2 AS BIGINT) AS e_k,
+           CAST(CASE WHEN n.n_k >= 2 THEN
+                  1000000 * coalesce(r.e2_k, 0)
+                    // (n.n_k * (n.n_k - 1))
+                ELSE 0 END AS BIGINT) AS phi_micro
+    FROM nodes n LEFT JOIN rich_edges r ON n.k = r.k
+    WHERE n.n_k >= 2
+    """,
+)
+def corpus_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) (Zhou & Mondragón 2004) of the
+    undirected citation graph at every realized degree threshold:
+    among the n_k vertices of degree > k, the fraction of possible
+    pairs actually linked — exact integers (φ in micro, floor
+    division). Whether the corpus's hub documents form an
+    interciting elite or a star periphery.
+
+    Scale shape: degree table (one groupBy), then a threshold×degree
+    join — |ks| is the distinct-degree count (≤ a few hundred on any
+    power-law graph), so the threshold side BROADCASTS and edges are
+    scanned once per realized threshold batch; never an n² pair
+    join."""
+    _, edges = corpus_tables(spark)
+    sym = undirect(edges.select("src", "dst"))
+    deg = sym.groupBy(F.col("src").alias("vid")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    ks = deg.select(F.col("d").alias("k")).distinct()
+    nodes = (
+        F.broadcast(ks)
+        .join(deg, deg["d"] > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_k"))
+    )
+    ds = deg.select(F.col("vid").alias("src"), F.col("d").alias("d_s"))
+    dt = deg.select(F.col("vid").alias("dst"), F.col("d").alias("d_t"))
+    e2 = (
+        sym.join(ds, "src")
+        .join(dt, "dst")
+        .join(
+            F.broadcast(ks),
+            (F.col("d_s") > F.col("k")) & (F.col("d_t") > F.col("k")),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("e2_k"))
+    )
+    return (
+        nodes.join(e2, "k", "left")
+        .filter(F.col("n_k") >= 2)
+        .select(
+            "k",
+            "n_k",
+            (F.coalesce("e2_k", F.lit(0)) / 2).cast("long").alias("e_k"),
+            F.expr(
+                "CASE WHEN n_k >= 2 THEN"
+                " 1000000 * coalesce(e2_k, 0)"
+                " div (n_k * (n_k - 1)) ELSE 0 END"
+            )
+            .cast("long")
+            .alias("phi_micro"),
+        )
+    )
