@@ -36,6 +36,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from citation_graph_spark.checkpointing import CheckpointManager
 from citation_graph_spark.graph.degrees import auto_partitions, undirect
 from citation_graph_spark.graph.mis import mis_round_lineage
 from citation_graph_spark.metrics import MetricsLogger
@@ -56,15 +57,34 @@ def greedy_coloring(
     max_iter: int = 100,
     num_partitions: int | None = None,
     metrics_path: str | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 4,
+    resume: bool = False,
 ) -> DataFrame:
     """Returns ``(vid, color, color_round)`` over the edge-derived
     vertex set: a proper coloring (no edge joins equal colors) that is
     exactly the greedy mex along the deterministic priority schedule.
     With a ``max_iter`` cap the result is the state after exactly that
     many synchronous rounds — still-uncolored vertices report
-    ``color = -1, color_round = 0`` (which the SQL oracle mirrors)."""
+    ``color = -1, color_round = 0`` (which the SQL oracle mirrors).
+
+    ``checkpoint_dir`` persists the colored set every
+    ``checkpoint_interval`` rounds (CheckpointManager manifest);
+    ``resume=True`` continues from the newest snapshot with the
+    IDENTICAL final coloring — the uncolored frontier is exactly
+    vertices-minus-colored and the schedule is a pure function of
+    (vid, round), and the state is int64, so the parquet round-trip is
+    exact by construction."""
     with iterative_kernel_conf(edges.sparkSession):
-        return _coloring(edges, max_iter, num_partitions, metrics_path)
+        return _coloring(
+            edges,
+            max_iter,
+            num_partitions,
+            metrics_path,
+            checkpoint_dir,
+            checkpoint_interval,
+            resume,
+        )
 
 
 def _coloring(
@@ -72,9 +92,17 @@ def _coloring(
     max_iter: int,
     num_partitions: int | None,
     metrics_path: str | None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 4,
+    resume: bool = False,
 ) -> DataFrame:
     spark = edges.sparkSession
     metrics = MetricsLogger(metrics_path, "coloring")
+    ckpt = (
+        CheckpointManager(checkpoint_dir, "coloring")
+        if checkpoint_dir
+        else None
+    )
 
     und0 = undirect(edges).select("src", "dst").persist()
     n_sym = und0.count()
@@ -90,12 +118,24 @@ def _coloring(
         .repartition(num_partitions, "vid")
         .localCheckpoint(eager=True)
     )
-    active = verts
+    colored = spark.createDataFrame(
+        [], "vid long, color long, color_round long"
+    )
+    start_iter = 0
+    if ckpt and resume:
+        loaded = ckpt.load(spark)
+        if loaded is not None:
+            saved, manifest = loaded
+            start_iter = manifest["iteration"]
+            colored = saved.repartition(num_partitions, "vid")
+    colored = colored.localCheckpoint(eager=True)
+    active = verts.join(colored, "vid", "left_anti").repartition(
+        num_partitions, "vid"
+    ).localCheckpoint(eager=True)
     n_active = active.count()
-    colored = None
 
     with shuffle_partitions_conf(spark, num_partitions):
-        for it in range(1, max_iter + 1):
+        for it in range(start_iter + 1, max_iter + 1):
             if n_active == 0:
                 break
             t0 = time.monotonic()
@@ -103,40 +143,29 @@ def _coloring(
                 eager=True
             )
             # mex over already-colored neighbors of each winner
-            if colored is None:
-                won = winners.select(
-                    "vid",
-                    F.lit(0).cast("long").alias("color"),
-                    F.lit(it).cast("long").alias("color_round"),
+            nb_colors = (
+                e.join(
+                    winners.select(F.col("vid").alias("src")),
+                    "src",
+                    "left_semi",
                 )
-            else:
-                nb_colors = (
-                    e.join(
-                        winners.select(F.col("vid").alias("src")),
-                        "src",
-                        "left_semi",
-                    )
-                    .join(
-                        colored.select(
-                            F.col("vid").alias("dst"), "color"
-                        ),
-                        "dst",
-                    )
-                    .groupBy("src")
-                    .agg(
-                        F.sort_array(F.collect_set("color")).alias("cs")
-                    )
-                    .select(
-                        F.col("src").alias("vid"),
-                        F.expr(_MEX_FOLD).alias("mex"),
-                    )
+                .join(
+                    colored.select(F.col("vid").alias("dst"), "color"),
+                    "dst",
                 )
-                won = winners.join(nb_colors, "vid", "left").select(
-                    "vid",
-                    F.coalesce("mex", F.lit(0)).cast("long").alias("color"),
-                    F.lit(it).cast("long").alias("color_round"),
+                .groupBy("src")
+                .agg(F.sort_array(F.collect_set("color")).alias("cs"))
+                .select(
+                    F.col("src").alias("vid"),
+                    F.expr(_MEX_FOLD).alias("mex"),
                 )
-            colored = won if colored is None else colored.unionByName(won)
+            )
+            won = winners.join(nb_colors, "vid", "left").select(
+                "vid",
+                F.coalesce("mex", F.lit(0)).cast("long").alias("color"),
+                F.lit(it).cast("long").alias("color_round"),
+            )
+            colored = colored.unionByName(won)
             colored = colored.repartition(
                 num_partitions, "vid"
             ).localCheckpoint(eager=True)
@@ -153,13 +182,11 @@ def _coloring(
                 wall_s=round(time.monotonic() - t0, 4),
             )
             n_active = n_next
+            if ckpt and (
+                it % checkpoint_interval == 0 or n_active == 0
+            ):
+                ckpt.save(colored, it, {"n_active": n_active})
 
-    if colored is None:
-        return verts.select(
-            "vid",
-            F.lit(-1).cast("long").alias("color"),
-            F.lit(0).cast("long").alias("color_round"),
-        )
     return verts.join(colored, "vid", "left").select(
         "vid",
         F.coalesce("color", F.lit(-1)).cast("long").alias("color"),

@@ -47,6 +47,7 @@ import time
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from citation_graph_spark.checkpointing import CheckpointManager
 from citation_graph_spark.graph.degrees import auto_partitions, undirect
 from citation_graph_spark.metrics import MetricsLogger
 from citation_graph_spark.session import (
@@ -98,15 +99,33 @@ def maximal_matching(
     max_iter: int = 100,
     num_partitions: int | None = None,
     metrics_path: str | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 4,
+    resume: bool = False,
 ) -> DataFrame:
     """Returns ``(vid, mate, matched, match_round)`` over the
     edge-derived vertex set: ``mate`` the partner vid (-1 when
     unmatched), ``matched`` 0/1, ``match_round`` the round that paired
     them (0 when unmatched). Maximality holds at the fixpoint; with a
     ``max_iter`` cap the result is the state after exactly that many
-    synchronous rounds (which the SQL oracle mirrors)."""
+    synchronous rounds (which the SQL oracle mirrors).
+
+    ``checkpoint_dir`` persists the matched-pair set every
+    ``checkpoint_interval`` rounds; ``resume=True`` continues from the
+    newest snapshot with the IDENTICAL final matching — the active
+    edge set is exactly canonical-edges-minus-matched-endpoints and
+    the schedule is a pure function of (edge, round); the int64 state
+    round-trips parquet exactly."""
     with iterative_kernel_conf(edges.sparkSession):
-        return _matching(edges, max_iter, num_partitions, metrics_path)
+        return _matching(
+            edges,
+            max_iter,
+            num_partitions,
+            metrics_path,
+            checkpoint_dir,
+            checkpoint_interval,
+            resume,
+        )
 
 
 def _matching(
@@ -114,9 +133,17 @@ def _matching(
     max_iter: int,
     num_partitions: int | None,
     metrics_path: str | None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 4,
+    resume: bool = False,
 ) -> DataFrame:
     spark = edges.sparkSession
     metrics = MetricsLogger(metrics_path, "matching")
+    ckpt = (
+        CheckpointManager(checkpoint_dir, "matching")
+        if checkpoint_dir
+        else None
+    )
 
     und0 = undirect(edges).select("src", "dst").persist()
     n_sym = und0.count()
@@ -139,11 +166,31 @@ def _matching(
     )
     und0.unpersist()
 
+    matched = spark.createDataFrame([], "a long, b long, match_round long")
+    start_iter = 0
+    if ckpt and resume:
+        loaded = ckpt.load(spark)
+        if loaded is not None:
+            saved, manifest = loaded
+            start_iter = manifest["iteration"]
+            matched = saved.repartition(num_partitions, "a")
+    matched = matched.localCheckpoint(eager=True)
+    mv0 = (
+        matched.select(F.col("a").alias("vid"))
+        .unionByName(matched.select(F.col("b").alias("vid")))
+        .distinct()
+    )
+    act = (
+        act.join(mv0.withColumnRenamed("vid", "a"), "a", "left_anti")
+        .join(mv0.withColumnRenamed("vid", "b"), "b", "left_anti")
+        .select("a", "b", "m")
+        .repartition(num_partitions, "a")
+        .localCheckpoint(eager=True)
+    )
     n_active = act.count()
-    matched = None
 
     with shuffle_partitions_conf(spark, num_partitions):
-        for it in range(1, max_iter + 1):
+        for it in range(start_iter + 1, max_iter + 1):
             if n_active == 0:
                 break
             t0 = time.monotonic()
@@ -152,7 +199,7 @@ def _matching(
             )
             n_win = winners.count()
             won = winners.withColumn("match_round", F.lit(it).cast("long"))
-            matched = won if matched is None else matched.unionByName(won)
+            matched = matched.unionByName(won)
             matched = matched.localCheckpoint(eager=True)
             mv = (
                 winners.select(F.col("a").alias("vid"))
@@ -175,14 +222,11 @@ def _matching(
                 wall_s=round(time.monotonic() - t0, 4),
             )
             n_active = n_next
+            if ckpt and (
+                it % checkpoint_interval == 0 or n_active == 0
+            ):
+                ckpt.save(matched, it, {"n_active": n_active})
 
-    if matched is None:
-        return verts.select(
-            "vid",
-            F.lit(-1).cast("long").alias("mate"),
-            F.lit(0).cast("long").alias("matched"),
-            F.lit(0).cast("long").alias("match_round"),
-        )
     mates = matched.select(
         F.col("a").alias("vid"), F.col("b").alias("mate"), "match_round"
     ).unionByName(

@@ -194,3 +194,42 @@ def test_eigenvector_kill_resume_identical(spark, tmp_path):
         .to_numpy()
     )
     assert (again == resumed).all()
+
+
+def test_coloring_kill_resume_identical(spark, tmp_path):
+    from citation_graph_spark.graph import greedy_coloring
+
+    el = random_graph(300, 1500, seed=9)
+    edges = edges_df(spark, el)
+
+    full = greedy_coloring(edges).orderBy("vid").collect()
+    ck = str(tmp_path / "ck")
+    # "kill" after 2 rounds (checkpoint every round), then resume
+    greedy_coloring(
+        edges, max_iter=2, checkpoint_dir=ck, checkpoint_interval=1
+    )
+    resumed = (
+        greedy_coloring(edges, checkpoint_dir=ck, resume=True)
+        .orderBy("vid")
+        .collect()
+    )
+    assert [tuple(r) for r in full] == [tuple(r) for r in resumed]
+
+
+def test_matching_kill_resume_identical(spark, tmp_path):
+    from citation_graph_spark.graph import maximal_matching
+
+    el = random_graph(300, 1500, seed=10)
+    edges = edges_df(spark, el)
+
+    full = maximal_matching(edges).orderBy("vid").collect()
+    ck = str(tmp_path / "ck")
+    maximal_matching(
+        edges, max_iter=2, checkpoint_dir=ck, checkpoint_interval=1
+    )
+    resumed = (
+        maximal_matching(edges, checkpoint_dir=ck, resume=True)
+        .orderBy("vid")
+        .collect()
+    )
+    assert [tuple(r) for r in full] == [tuple(r) for r in resumed]
