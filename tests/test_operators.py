@@ -102,5 +102,8 @@ def test_rows_only_queries_have_kernel_oracles():
         # iterative merge loop, not single-SQL-expressible; sequential
         # replay of the identical schedule in test_tokenization
         "bpe_learn_merges",
+        # encodes with the table the iterative learn loop produces;
+        # sequential learn+encode replay in test_tokenization
+        "bpe_encode_docs",
     }
     assert rows_only <= allowed, rows_only
