@@ -51,6 +51,70 @@ _MEX_FOLD = (
     " (acc, c) -> if(c = acc, acc + cast(1 as bigint), acc))"
 )
 
+# incident-row count at or below which the remaining schedule replays
+# as one vectorized driver pass (the CC "filtering" endgame precedent,
+# components.py:41) — the JP tail is many tiny synchronous rounds whose
+# per-round scheduling overhead dwarfs their work
+_LOCAL_FINISH_ROWS = 500_000
+
+_P = 2147483647
+_M = 8388608
+_S = 1099511627776
+
+
+def _q_py(v: int, r: int) -> int:
+    """Python twin of mis._q — the identical injective Lehmer hash."""
+    a = 48271 * r % _P
+    b = 16807 * r % _P
+    return ((v % _P) * a + b) % _P % _M * _S + v
+
+
+def _finish_local_coloring(
+    inc_rows, active_vids, colored_rows, start_it, max_iter
+):
+    """Exact driver replay of the remaining JP rounds: identical
+    per-round priorities and mex, so the result is bit-identical to
+    the distributed rounds it replaces. ``inc_rows`` are (src, dst)
+    with src active; ``colored_rows`` maps already-colored vid→color."""
+    color = dict(colored_rows)
+    active = set(active_vids)
+    adj_act: dict[int, set] = {v: set() for v in active}
+    nb_cols: dict[int, set] = {v: set() for v in active}
+    for src, dst in inc_rows:
+        if dst in active:
+            adj_act[src].add(dst)
+        else:
+            c = color.get(dst)
+            if c is not None:
+                nb_cols[src].add(c)
+    out = []
+    for it in range(start_it, max_iter + 1):
+        if not active:
+            break
+        qs = {v: _q_py(v, it) for v in active}
+        winners = [
+            v
+            for v in active
+            if all(qs[v] < qs[n] for n in adj_act[v] if n in active)
+        ]
+        for w in winners:
+            used = sorted(nb_cols[w])
+            mex = 0
+            for c in used:
+                if c == mex:
+                    mex += 1
+                elif c > mex:
+                    break
+            color[w] = mex
+            out.append((w, mex, it))
+        ws = set(winners)
+        active -= ws
+        for w in winners:
+            for n in adj_act[w]:
+                if n in active:
+                    nb_cols[n].add(color[w])
+    return out
+
 
 def greedy_coloring(
     edges: DataFrame,
@@ -60,6 +124,7 @@ def greedy_coloring(
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 4,
     resume: bool = False,
+    local_finish_rows: int | None = None,
 ) -> DataFrame:
     """Returns ``(vid, color, color_round)`` over the edge-derived
     vertex set: a proper coloring (no edge joins equal colors) that is
@@ -74,7 +139,12 @@ def greedy_coloring(
     IDENTICAL final coloring — the uncolored frontier is exactly
     vertices-minus-colored and the schedule is a pure function of
     (vid, round), and the state is int64, so the parquet round-trip is
-    exact by construction."""
+    exact by construction.
+
+    ``local_finish_rows`` — incident-row count at or below which the
+    remaining rounds replay as one exact driver pass (None → module
+    default ``_LOCAL_FINISH_ROWS``; 0 forces the distributed rounds,
+    used by their equality tests). Identical colors either way."""
     with iterative_kernel_conf(edges.sparkSession):
         return _coloring(
             edges,
@@ -84,6 +154,7 @@ def greedy_coloring(
             checkpoint_dir,
             checkpoint_interval,
             resume,
+            local_finish_rows,
         )
 
 
@@ -95,7 +166,10 @@ def _coloring(
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 4,
     resume: bool = False,
+    local_finish_rows: int | None = None,
 ) -> DataFrame:
+    if local_finish_rows is None:
+        local_finish_rows = _LOCAL_FINISH_ROWS
     spark = edges.sparkSession
     metrics = MetricsLogger(metrics_path, "coloring")
     ckpt = (
@@ -139,6 +213,39 @@ def _coloring(
             if n_active == 0:
                 break
             t0 = time.monotonic()
+            if local_finish_rows:
+                inc = e.join(
+                    active.select(F.col("vid").alias("src")),
+                    "src",
+                    "left_semi",
+                )
+                if inc.count() <= local_finish_rows:
+                    inc_rows = [
+                        (r["src"], r["dst"]) for r in inc.collect()
+                    ]
+                    act_vids = [r["vid"] for r in active.collect()]
+                    col_rows = [
+                        (r["vid"], r["color"]) for r in colored.collect()
+                    ]
+                    new = _finish_local_coloring(
+                        inc_rows, act_vids, col_rows, it, max_iter
+                    )
+                    if new:
+                        colored = colored.unionByName(
+                            spark.createDataFrame(
+                                new,
+                                "vid long, color long, color_round long",
+                            )
+                        ).localCheckpoint(eager=True)
+                    metrics.log(
+                        it,
+                        winners=len(new),
+                        active=len(act_vids) - len(new),
+                        endgame=1,
+                        wall_s=round(time.monotonic() - t0, 4),
+                    )
+                    n_active = 0
+                    break
             winners = mis_round_lineage(e, active, it).localCheckpoint(
                 eager=True
             )

@@ -58,6 +58,42 @@ from citation_graph_spark.session import (
 _P = 2147483647
 _EID_S = 2147483648  # 2^31: eid = a * 2^31 + b, injective for vid < 2^31
 
+# active-edge count at or below which the remaining schedule replays
+# as one exact driver pass (the CC "filtering" endgame precedent,
+# components.py:41) — the tail is many tiny synchronous rounds whose
+# scheduling overhead dwarfs their work
+_LOCAL_FINISH_ROWS = 500_000
+
+
+def _finish_local_matching(act_rows, start_it, max_iter):
+    """Exact driver replay of the remaining matching rounds —
+    identical (q, eid) priorities, so the result is bit-identical to
+    the distributed rounds it replaces."""
+    act = [(int(a), int(b), int(m)) for a, b, m in act_rows]
+    out = []
+    for it in range(start_it, max_iter + 1):
+        if not act:
+            break
+        ar, br = 48271 * it % _P, 16807 * it % _P
+        pri = {}
+        for a, b, m in act:
+            pri[(a, b)] = ((m * ar + br) % _P, a * _EID_S + b)
+        vmin: dict[int, tuple] = {}
+        for a, b, _m in act:
+            p = pri[(a, b)]
+            for v in (a, b):
+                if v not in vmin or p < vmin[v]:
+                    vmin[v] = p
+        winners = [
+            (a, b)
+            for a, b, _m in act
+            if pri[(a, b)] == vmin[a] and pri[(a, b)] == vmin[b]
+        ]
+        mv = {v for e in winners for v in e}
+        out.extend((a, b, it) for a, b in winners)
+        act = [e for e in act if e[0] not in mv and e[1] not in mv]
+    return out
+
 
 def _q(m: F.Column, r: int) -> F.Column:
     a = 48271 * r % _P
@@ -102,6 +138,7 @@ def maximal_matching(
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 4,
     resume: bool = False,
+    local_finish_rows: int | None = None,
 ) -> DataFrame:
     """Returns ``(vid, mate, matched, match_round)`` over the
     edge-derived vertex set: ``mate`` the partner vid (-1 when
@@ -115,7 +152,12 @@ def maximal_matching(
     newest snapshot with the IDENTICAL final matching — the active
     edge set is exactly canonical-edges-minus-matched-endpoints and
     the schedule is a pure function of (edge, round); the int64 state
-    round-trips parquet exactly."""
+    round-trips parquet exactly.
+
+    ``local_finish_rows`` — active-edge count at or below which the
+    remaining rounds replay as one exact driver pass (None → module
+    default ``_LOCAL_FINISH_ROWS``; 0 forces the distributed rounds,
+    used by their equality tests). Identical matching either way."""
     with iterative_kernel_conf(edges.sparkSession):
         return _matching(
             edges,
@@ -125,6 +167,7 @@ def maximal_matching(
             checkpoint_dir,
             checkpoint_interval,
             resume,
+            local_finish_rows,
         )
 
 
@@ -136,7 +179,10 @@ def _matching(
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 4,
     resume: bool = False,
+    local_finish_rows: int | None = None,
 ) -> DataFrame:
+    if local_finish_rows is None:
+        local_finish_rows = _LOCAL_FINISH_ROWS
     spark = edges.sparkSession
     metrics = MetricsLogger(metrics_path, "matching")
     ckpt = (
@@ -194,6 +240,26 @@ def _matching(
             if n_active == 0:
                 break
             t0 = time.monotonic()
+            if local_finish_rows and n_active <= local_finish_rows:
+                act_rows = [
+                    (r["a"], r["b"], r["m"]) for r in act.collect()
+                ]
+                new = _finish_local_matching(act_rows, it, max_iter)
+                if new:
+                    matched = matched.unionByName(
+                        spark.createDataFrame(
+                            new, "a long, b long, match_round long"
+                        )
+                    ).localCheckpoint(eager=True)
+                metrics.log(
+                    it,
+                    winners=len(new),
+                    active=0,
+                    endgame=1,
+                    wall_s=round(time.monotonic() - t0, 4),
+                )
+                n_active = 0
+                break
             winners = matching_round_lineage(act, it).localCheckpoint(
                 eager=True
             )

@@ -484,14 +484,17 @@ def _matching_oracle(edge_list, max_iter=100):
     return {v: (*res.get(v, (-1, 0)),) for v in verts}
 
 
+@pytest.mark.parametrize("lf", [None, 0], ids=["endgame", "distributed"])
 @pytest.mark.parametrize("name", ["random_200", "random_500_skew"])
-def test_matching_matches_sequential_replay(spark, name):
+def test_matching_matches_sequential_replay(spark, name, lf):
     from citation_graph_spark.graph import maximal_matching
 
     n, el = GRAPHS[name]
     got = {
         r["vid"]: (r["mate"], r["match_round"])
-        for r in maximal_matching(edges_df(spark, el)).collect()
+        for r in maximal_matching(
+            edges_df(spark, el), local_finish_rows=lf
+        ).collect()
     }
     assert got == _matching_oracle(el)
 
@@ -577,14 +580,17 @@ def _coloring_oracle(edge_list, max_iter=100):
     return {v: (color.get(v, -1), cround.get(v, 0)) for v in verts}
 
 
+@pytest.mark.parametrize("lf", [None, 0], ids=["endgame", "distributed"])
 @pytest.mark.parametrize("name", ["random_200", "random_500_skew"])
-def test_coloring_matches_sequential_replay(spark, name):
+def test_coloring_matches_sequential_replay(spark, name, lf):
     from citation_graph_spark.graph import greedy_coloring
 
     n, el = GRAPHS[name]
     got = {
         r["vid"]: (r["color"], r["color_round"])
-        for r in greedy_coloring(edges_df(spark, el)).collect()
+        for r in greedy_coloring(
+            edges_df(spark, el), local_finish_rows=lf
+        ).collect()
     }
     assert got == _coloring_oracle(el)
 

@@ -202,14 +202,24 @@ def test_coloring_kill_resume_identical(spark, tmp_path):
     el = random_graph(300, 1500, seed=9)
     edges = edges_df(spark, el)
 
-    full = greedy_coloring(edges).orderBy("vid").collect()
+    # local_finish_rows=0 forces the distributed rounds — the endgame
+    # would otherwise finish round 1 before any checkpoint lands
+    full = (
+        greedy_coloring(edges, local_finish_rows=0).orderBy("vid").collect()
+    )
     ck = str(tmp_path / "ck")
     # "kill" after 2 rounds (checkpoint every round), then resume
     greedy_coloring(
-        edges, max_iter=2, checkpoint_dir=ck, checkpoint_interval=1
+        edges,
+        max_iter=2,
+        checkpoint_dir=ck,
+        checkpoint_interval=1,
+        local_finish_rows=0,
     )
     resumed = (
-        greedy_coloring(edges, checkpoint_dir=ck, resume=True)
+        greedy_coloring(
+            edges, checkpoint_dir=ck, resume=True, local_finish_rows=0
+        )
         .orderBy("vid")
         .collect()
     )
@@ -222,13 +232,21 @@ def test_matching_kill_resume_identical(spark, tmp_path):
     el = random_graph(300, 1500, seed=10)
     edges = edges_df(spark, el)
 
-    full = maximal_matching(edges).orderBy("vid").collect()
+    full = (
+        maximal_matching(edges, local_finish_rows=0).orderBy("vid").collect()
+    )
     ck = str(tmp_path / "ck")
     maximal_matching(
-        edges, max_iter=2, checkpoint_dir=ck, checkpoint_interval=1
+        edges,
+        max_iter=2,
+        checkpoint_dir=ck,
+        checkpoint_interval=1,
+        local_finish_rows=0,
     )
     resumed = (
-        maximal_matching(edges, checkpoint_dir=ck, resume=True)
+        maximal_matching(
+            edges, checkpoint_dir=ck, resume=True, local_finish_rows=0
+        )
         .orderBy("vid")
         .collect()
     )
