@@ -20,7 +20,10 @@ from citation_graph_spark.graph.traversal import (
 )
 from citation_graph_spark.graph.kcore import k_core
 from citation_graph_spark.graph.ktruss import k_truss
-from citation_graph_spark.graph.betweenness import betweenness_sampled
+from citation_graph_spark.graph.betweenness import (
+    betweenness_sampled,
+    edge_betweenness_sampled,
+)
 from citation_graph_spark.graph.eigenvector import eigenvector_centrality
 from citation_graph_spark.graph.hits import hits
 from citation_graph_spark.graph.katz import katz_centrality
@@ -51,6 +54,7 @@ __all__ = [
     "k_core",
     "k_truss",
     "betweenness_sampled",
+    "edge_betweenness_sampled",
     "hits",
     "katz_centrality",
     "strongly_connected_components",

@@ -118,6 +118,73 @@ def betweenness_sampled(
         )
 
 
+def edge_betweenness_sampled(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_iter: int = 30,
+    num_partitions: int | None = None,
+    metrics_path: str | None = None,
+) -> DataFrame:
+    """Returns ``(a: long, b: long, eb_micro: long)`` for every
+    canonical (a<b) undirected edge: the Brandes *edge* dependency sum
+    over the pivot set — the Girvan–Newman edge score. On the
+    shortest-path DAG of pivot s, the dependency routed through edge
+    v→w (dist(w)=dist(v)+1) is ``sigma_v · (1+delta_w) / sigma_w``
+    (Brandes 2001, Theorem 6 applied edge-wise), so the whole edge
+    table falls out of the SAME forward/backward state as the vertex
+    score — one extra edge join and groupBy, no extra rounds. Floored
+    to micro-integers for exact cross-engine comparison (per-term
+    formula identical on both sides; only summation order floats)."""
+    with iterative_kernel_conf(edges.sparkSession):
+        e, verts, done = _brandes_state(
+            edges, sources, max_iter, num_partitions, metrics_path
+        )
+        v_side = done.select(
+            "s",
+            F.col("vid").alias("v"),
+            F.col("dist").alias("dist_v"),
+            F.col("sigma").alias("sigma_v"),
+        )
+        w_side = done.select(
+            F.col("s").alias("s_w"),
+            F.col("vid").alias("w"),
+            F.col("dist").alias("dist_w"),
+            F.col("sigma").alias("sigma_w"),
+            F.col("delta").alias("delta_w"),
+        )
+        terms = (
+            e.join(v_side, e["src"] == F.col("v"))
+            .join(
+                w_side,
+                (F.col("dst") == F.col("w"))
+                & (F.col("s_w") == F.col("s"))
+                & (F.col("dist_w") == F.col("dist_v") + 1),
+            )
+            .select(
+                F.least("v", "w").alias("a"),
+                F.greatest("v", "w").alias("b"),
+                (
+                    F.col("sigma_v").cast("double")
+                    * (F.lit(1.0) + F.col("delta_w"))
+                    / F.col("sigma_w").cast("double")
+                ).alias("term"),
+            )
+        )
+        eb = terms.groupBy("a", "b").agg(F.sum("term").alias("eb"))
+        canon = e.filter(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("a"), F.col("dst").alias("b")
+        )
+        out = canon.join(eb, ["a", "b"], "left").select(
+            "a",
+            "b",
+            F.floor(F.coalesce(F.col("eb"), F.lit(0.0)) * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("eb_micro"),
+        )
+        e.unpersist()
+        return out
+
+
 def _betweenness(
     edges: DataFrame,
     sources: DataFrame,
@@ -125,6 +192,35 @@ def _betweenness(
     num_partitions: int | None,
     metrics_path: str | None,
 ) -> DataFrame:
+    e, verts, done = _brandes_state(
+        edges, sources, max_iter, num_partitions, metrics_path
+    )
+    bc = (
+        done.filter(F.col("vid") != F.col("s"))
+        .groupBy("vid")
+        .agg(F.sum("delta").alias("bc"))
+    )
+    out = verts.join(bc, "vid", "left").select(
+        "vid",
+        F.floor(F.coalesce(F.col("bc"), F.lit(0.0)) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("bc_micro"),
+    )
+    e.unpersist()
+    return out
+
+
+def _brandes_state(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_iter: int,
+    num_partitions: int | None,
+    metrics_path: str | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Forward + backward Brandes passes; returns ``(e, verts, done)``
+    where ``e`` is the cached undirected edge closure (caller
+    unpersists), ``verts`` its vertex set, and ``done`` the full
+    per-(pivot, vertex) state (s, vid, dist, sigma, delta)."""
     spark = edges.sparkSession
     metrics = MetricsLogger(metrics_path, "betweenness")
 
@@ -197,16 +293,4 @@ def _betweenness(
                 wall_s=round(time.monotonic() - t0, 4),
             )
 
-    bc = (
-        done.filter(F.col("vid") != F.col("s"))
-        .groupBy("vid")
-        .agg(F.sum("delta").alias("bc"))
-    )
-    out = verts.join(bc, "vid", "left").select(
-        "vid",
-        F.floor(F.coalesce(F.col("bc"), F.lit(0.0)) * 1000000 + F.lit(0.5))
-        .cast("long")
-        .alias("bc_micro"),
-    )
-    e.unpersist()
-    return out
+    return e, verts, done

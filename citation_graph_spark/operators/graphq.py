@@ -42,6 +42,7 @@ from citation_graph_spark.graph import (
     bfs_distances,
     bfs_per_source,
     betweenness_sampled,
+    edge_betweenness_sampled,
     connected_components,
     eigenvector_centrality,
     hits,
@@ -542,6 +543,52 @@ def graph_part_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pivots = verts.orderBy("vid").limit(_BC_SOURCES)
     return betweenness_sampled(edges, pivots, max_iter=_BC_ITERS)
+
+
+# Girvan–Newman edge betweenness: same recursive forward/backward CTEs
+# as the vertex oracle, different final aggregation — the dependency
+# routed through DAG edge v→w is sigma_v·(1+delta_w)/sigma_w, summed
+# over pivots on the canonical (a<b) undirected edge.
+_EDGE_BETWEENNESS_ORACLE = (
+    _BETWEENNESS_ORACLE[: _BETWEENNESS_ORACLE.rindex("    SELECT vt.vid")]
+    + f"""
+    , bfin AS (
+      SELECT s, v, delta FROM back WHERE jt = (SELECT max(jt) FROM back)
+    ),
+    edep AS (
+      SELECT least(fv.v, fw.v) AS a, greatest(fv.v, fw.v) AS b,
+             sum(fv.sigma * (1.0 + bw.delta) / fw.sigma) AS eb
+      FROM sym m
+        JOIN f fv ON fv.v = m.src
+        JOIN f fw ON fw.s = fv.s AND fw.v = m.dst
+                 AND fw.dist = fv.dist + 1
+        JOIN bfin bw ON bw.s = fw.s AND bw.v = fw.v
+      GROUP BY 1, 2
+    )
+    SELECT e.src AS a, e.dst AS b,
+           CAST(floor(coalesce(d.eb, 0) * 1000000 + 0.5) AS BIGINT)
+           AS eb_micro
+    FROM edges e LEFT JOIN edep d ON d.a = e.src AND d.b = e.dst
+    """
+)
+
+
+@register("graph_part_edge_betweenness", oracle=_EDGE_BETWEENNESS_ORACLE)
+def graph_part_edge_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled Girvan–Newman edge betweenness from the same 8 pivots
+    and 10-level cap as the vertex score (graph/betweenness.py
+    ``edge_betweenness_sampled``): one extra edge join over the shared
+    Brandes state, no extra rounds. Scores floored to micro-integers;
+    per-term float formula is identical on both engines, so the only
+    noise is summation order (~1e-12 vs the 0.5e-6 slack)."""
+    edges = part_graph_edges(spark, sf_dir)
+    verts = (
+        undirect(edges)
+        .select(F.col("src").alias("vid"))
+        .distinct()
+    )
+    pivots = verts.orderBy("vid").limit(_BC_SOURCES)
+    return edge_betweenness_sampled(edges, pivots, max_iter=_BC_ITERS)
 
 
 # --------------------------------------------------------------------------

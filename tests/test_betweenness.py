@@ -116,3 +116,97 @@ def test_betweenness_depth_cap_matches_oracle(spark):
     want = brandes_oracle(n, el, [1], max_depth=2)
     for v, bcv in got.items():
         assert bcv == _micro(want[v]), f"vid {v}"
+
+
+# ---- edge betweenness (Girvan–Newman scores) ------------------------
+
+
+def edge_brandes_oracle(n, edge_list, sources, max_depth=10**9):
+    """Sequential Brandes with edge accumulation: the dependency routed
+    through DAG edge v→w from pivot s is sigma_v/sigma_w·(1+delta_w)."""
+    adj: dict[int, set[int]] = {v: set() for v in range(n)}
+    for a, b in edge_list:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    eb: dict[tuple[int, int], float] = {}
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = [s]
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            if dist[v] >= max_depth:
+                continue
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    sigma[w] = 0
+                    order.append(w)
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for v in adj[w]:
+                if v in dist and dist[v] == dist[w] - 1:
+                    c = sigma[v] / sigma[w] * (1 + delta[w])
+                    delta[v] += c
+                    key = (min(v, w), max(v, w))
+                    eb[key] = eb.get(key, 0.0) + c
+    return eb
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_edge_betweenness_matches_brandes(spark, name):
+    from citation_graph_spark.graph import edge_betweenness_sampled
+
+    n, el = GRAPHS[name]
+    in_graph = sorted({v for e in el for v in e})
+    pivots = in_graph[:8]
+    verts = vertices_df(spark, n)
+    got = {
+        (r["a"], r["b"]): r["eb_micro"]
+        for r in edge_betweenness_sampled(
+            edges_df(spark, el), verts.filter(verts["vid"].isin(pivots))
+        ).collect()
+    }
+    want = edge_brandes_oracle(n, el, pivots)
+    canon = {(min(a, b), max(a, b)) for a, b in el if a != b}
+    assert set(got) == canon  # one row per canonical undirected edge
+    for k in canon:
+        assert got[k] == _micro(want.get(k, 0.0)), f"edge {k}"
+
+
+def test_edge_betweenness_path_known_values(spark):
+    """Path 0-1-2-3-4, all pivots: edge (i,i+1) carries every shortest
+    path crossing it — closed form 2·(i+1)·(n-1-i) ordered-pair count."""
+    from citation_graph_spark.graph import edge_betweenness_sampled
+
+    n, el = GRAPHS["path_5"]
+    got = {
+        (r["a"], r["b"]): r["eb_micro"]
+        for r in edge_betweenness_sampled(
+            edges_df(spark, el), vertices_df(spark, n)
+        ).collect()
+    }
+    for i in range(n - 1):
+        assert got[(i, i + 1)] == 2 * (i + 1) * (n - 1 - i) * 1000000
+
+
+def test_edge_betweenness_depth_cap_matches_oracle(spark):
+    from citation_graph_spark.graph import edge_betweenness_sampled
+
+    n, el = GRAPHS["star_plus_tail"]
+    got = {
+        (r["a"], r["b"]): r["eb_micro"]
+        for r in edge_betweenness_sampled(
+            edges_df(spark, el),
+            vertices_df(spark, n).filter("vid = 1"),
+            max_iter=2,
+        ).collect()
+    }
+    want = edge_brandes_oracle(n, el, [1], max_depth=2)
+    for k, v in got.items():
+        assert v == _micro(want.get(k, 0.0)), f"edge {k}"
