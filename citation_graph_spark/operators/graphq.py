@@ -444,6 +444,116 @@ def _ktruss_oracle(k: int, rounds: int) -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# Minimum spanning forest. The engine runs the distributed Borůvka
+# kernel (graph/msf.py — the same kernel that powers the HDBSCAN-class
+# density hierarchy, here surfaced as a first-class query); the oracle
+# replays Borůvka round-for-round in generated SQL: per round, a
+# min-outgoing-edge choice per component (window rank over the
+# (w, src, dst) total order — the kernel's exact tie-break) and a
+# recursive min-label CC over the chosen edges for the contraction.
+# Under a strict total order the MSF is unique (distinct-weights
+# argument on the lexicographic perturbation), so kernel and oracle
+# must agree edge-for-edge — validated against sequential Kruskal in
+# tests/test_msf.py. Weights are 48-bit integers carved from
+# md5("src-dst") — deterministic, identical on both engines
+# (lang_stratified_sample's cross-engine md5 idiom).
+
+
+def _msf_oracle(rounds: int) -> str:
+    """Generated Borůvka-round SQL. ``rounds`` must cover
+    ceil(log2(n_vertices)) at the gate scale — components at least
+    halve per round, and exhausted rounds are no-ops (x{r} empty →
+    labels persist), so overshooting is safe."""
+    parts = [
+        "we AS MATERIALIZED (SELECT src, dst,\n"
+        "  CAST('0x' || substr(md5(src::VARCHAR || '-' || dst::VARCHAR),\n"
+        "       1, 12) AS BIGINT) AS w FROM edges)",
+        "c0 AS MATERIALIZED (SELECT vid, vid AS comp FROM verts)",
+    ]
+    sels = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"x{r} AS MATERIALIZED (\n"
+            f"  SELECT ca.comp AS ca, cb.comp AS cb, e.src, e.dst, e.w\n"
+            f"  FROM we e JOIN c{p} ca ON ca.vid = e.src\n"
+            f"            JOIN c{p} cb ON cb.vid = e.dst\n"
+            f"  WHERE ca.comp <> cb.comp)"
+        )
+        parts.append(
+            f"sel{r} AS MATERIALIZED (\n"
+            f"  SELECT DISTINCT src, dst, w, ca, cb FROM (\n"
+            f"    SELECT src, dst, w, ca, cb,\n"
+            f"      row_number() OVER (PARTITION BY mc ORDER BY w, src, dst)\n"
+            f"      AS rn\n"
+            f"    FROM (SELECT ca AS mc, src, dst, w, ca, cb FROM x{r}\n"
+            f"          UNION ALL SELECT cb, src, dst, w, ca, cb FROM x{r})\n"
+            f"    t) WHERE rn = 1)"
+        )
+        parts.append(
+            f"sedge{r} AS MATERIALIZED (SELECT ca AS u, cb AS v FROM sel{r}\n"
+            f"  UNION ALL SELECT cb, ca FROM sel{r})"
+        )
+        parts.append(
+            f"cc{r}(comp, lbl) AS (\n"
+            f"  SELECT comp, comp FROM (SELECT DISTINCT comp FROM c{p}) b\n"
+            f"  UNION\n"
+            f"  SELECT m.v, l.lbl FROM cc{r} l JOIN sedge{r} m\n"
+            f"    ON m.u = l.comp)"
+        )
+        parts.append(
+            f"relab{r} AS MATERIALIZED (SELECT comp, min(lbl) AS newc\n"
+            f"  FROM cc{r} GROUP BY comp)"
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT c.vid, r.newc AS comp\n"
+            f"  FROM c{p} c JOIN relab{r} r ON r.comp = c.comp)"
+        )
+        sels.append(f"SELECT src, dst, w FROM sel{r}")
+    body = ",\n    ".join(parts)
+    union = "\n      UNION ALL ".join(sels)
+    return f"""
+    WITH RECURSIVE {_GRAPH_CTE.strip()},
+    {body}
+    SELECT DISTINCT src, dst, w FROM ({union}) forest
+    """
+
+
+_MSF_ROUNDS = 13  # covers n≤8192 part-graph vertices (sf0.01: ≤2000)
+
+
+@register("graph_part_msf", oracle=_msf_oracle(_MSF_ROUNDS))
+def graph_part_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest of the part graph under deterministic
+    48-bit md5 edge weights (graph/msf.py Borůvka; O(log n) rounds,
+    components at least halve per round). Returns the forest edges
+    (src, dst, w) — per brand-component, |C|−1 edges; unique under the
+    (w, src, dst) total order, so the gate hash is exact."""
+    from citation_graph_spark.graph.msf import boruvka_msf
+
+    e = part_graph_edges(spark, sf_dir).select("src", "dst")
+    ew = e.withColumn(
+        "w",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("src").cast("string"),
+                        F.col("dst").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    return boruvka_msf(ew)
+
+
 @register("graph_part_ktruss", oracle=_ktruss_oracle(_KTRUSS_K, _KTRUSS_ITERS))
 def graph_part_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-truss of the part graph via synchronous edge peeling, capped
