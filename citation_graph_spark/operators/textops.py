@@ -551,3 +551,112 @@ def doc_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval — the deterministic analog of the reference's
+# search surface (reference: src/citations/data_sources/serpapi.py and
+# scripts/search/* rank via an external engine; here the corpus ranks
+# itself). Okapi BM25 with k1 = 6/5, b = 3/4 and the raw-ratio IDF
+# N/df (the doc_keywords_tfidf convention — no transcendental, so no
+# cross-engine libm risk). With those rational constants the whole
+# score clears denominators:
+#
+#   score = (N/df) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+#         = 22·N·tf·L / (df · (10·tf·L + 3·L + 9·dl·N))
+#
+# (avgdl = L/N; multiply through by 10·L) — every factor is int64, so
+# score_milli is ONE integer division: bit-exact on both engines with
+# no float contract at all. Overflow bound: 22000·N·tf·L < 2^63 up to
+# N·L·tf ≈ 4·10^14 — petabyte-corpus territory at the fixture's doc
+# shape; at true web scale the milli scale factor drops to unity.
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_TOPK = 20
+
+
+@register(
+    "bm25_search",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id,
+               lower(unnest(string_split_regex(trim(coalesce(text, '')),
+                                               '\s+'))) AS term
+        FROM documents
+      ) WHERE length(term) > 0
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    g AS (SELECT (SELECT count(*) FROM documents) AS n,
+                 (SELECT sum(dl) FROM dl) AS l),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}',
+                     '{_BM25_TERMS[2]}')
+      GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT t.doc_id,
+             (22000 * g.n * t.tf * g.l) //
+             (d.df * (10 * t.tf * g.l + 3 * g.l + 9 * dl.dl * g.n))
+             AS milli
+      FROM tf t
+        JOIN dfq d USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN g
+    )
+    SELECT doc_id, score_milli, rk FROM (
+      SELECT doc_id, sum(milli) AS score_milli,
+             row_number() OVER (ORDER BY sum(milli) DESC, doc_id) AS rk
+      FROM contrib GROUP BY doc_id
+    ) WHERE rk <= {_BM25_TOPK}
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for the fixed 3-term query under integer-exact
+    Okapi BM25 (constants above). Scale shape: one tf aggregate over
+    the query-term filter (the filter reaches the scan — only matching
+    tokens survive the explode), a broadcast-sized df/global join, one
+    final global top-k. The global row_number over the scored docs is
+    the only single-partition step and it sees ≤ |matching docs| rows —
+    at web scale replace with an orderBy(...).limit(k) (same result,
+    distributed TopK); kept as the window form so rk lands in the gate
+    hash."""
+    d = load_tables(spark, sf_dir)["documents"]
+    n_docs = d.count()
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+        ).alias("t0"),
+    ).select("doc_id", F.lower(F.col("t0")).alias("term")).filter(
+        F.length("term") > 0
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    total_l = dl.agg(F.sum("dl")).first()[0]
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(
+                f"(22000 * {n_docs}L * tf * {total_l}L) div "
+                f"(df * (10 * tf * {total_l}L + 3 * {total_l}L"
+                f" + 9 * dl * {n_docs}L))"
+            ).alias("milli"),
+        )
+    )
+    w = Window.orderBy(F.desc("score_milli"), F.asc("doc_id"))
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("milli").alias("score_milli"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BM25_TOPK)
+        .select("doc_id", F.col("score_milli").cast("long"), F.col("rk").cast("int"))
+    )

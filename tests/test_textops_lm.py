@@ -84,3 +84,59 @@ def test_tfidf_keywords_rank_rare_terms_first(spark, tmp_path):
     # zebra: tf=2, df=1 → score 6.0*2=... outranks shared (tf=1, df=2)
     assert sorted(by_doc[1])[0][1] == "zebra"
     assert sorted(by_doc[3])[0][1] == "lonely"
+
+
+def test_bm25_integer_form_equals_float_form(spark):
+    """The registered bm25_search score is the cleared-denominator
+    integer form of Okapi BM25 (k1=6/5, b=3/4, idf=N/df). Recompute
+    the FLOAT form independently from the same parquet and check the
+    integer milli score is its exact floor-free truncation (within one
+    milli for float representation error)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    rows = con.execute(
+        r"""
+        SELECT doc_id, lower(unnest(string_split_regex(
+                 trim(coalesce(text, '')), '\s+'))) AS term
+        FROM read_parquet(?)
+        """,
+        [f"{sf}/documents.parquet"],
+    ).fetchall()
+    n_docs = con.execute(
+        "SELECT count(*) FROM read_parquet(?)", [f"{sf}/documents.parquet"]
+    ).fetchone()[0]
+    toks = [(d, t) for d, t in rows if t]
+    dl: dict[int, int] = {}
+    for d, _ in toks:
+        dl[d] = dl.get(d, 0) + 1
+    total_l = sum(dl.values())
+    avgdl = total_l / n_docs
+    terms = ("spark", "join", "window")
+    tf: dict[tuple[int, str], int] = {}
+    for d, t in toks:
+        if t in terms:
+            tf[(d, t)] = tf.get((d, t), 0) + 1
+    df: dict[str, int] = {}
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+    k1, b = 6 / 5, 3 / 4
+    want: dict[int, float] = {}
+    for (d, t), f in tf.items():
+        s = (n_docs / df[t]) * f * (k1 + 1) / (
+            f + k1 * (1 - b + b * dl[d] / avgdl)
+        )
+        want[d] = want.get(d, 0.0) + s
+
+    from citation_graph_spark.operators.textops import bm25_search
+
+    got = {
+        r["doc_id"]: r["score_milli"]
+        for r in bm25_search(spark, sf).collect()
+    }
+    assert len(got) == 20
+    top = sorted(want, key=lambda d: (-want[d], d))[:20]
+    assert sorted(got) == sorted(top)
+    for d in top:
+        assert abs(got[d] - 1000 * want[d]) <= len(terms) + 1e-6, d
