@@ -282,6 +282,92 @@ def graph_part_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, seeds, max_iter=_BFS_ITERS)
 
 
+# --------------------------------------------------------------------------
+# Shortest-path TRACE — not just the distance table but the actual
+# path, reconstructed: s = min vid, t = max vid reachable from s
+# within the round cap; parent(v) = min-vid predecessor on a shortest
+# path (deterministic, so the path is unique and the gate hash exact).
+# The reconstruction is the serving feature behind "how is paper X
+# connected to paper Y" (reference serves hops via Cypher shortestPath,
+# neo4j/queries.py); here it is parent-pointer backtracking — ≤cap
+# single-row joins against the parent table, no driver loop over rows.
+@register(
+    "graph_part_path_trace",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    sseed AS (SELECT min(vid) AS s FROM verts),
+    walk(v, d) AS (
+      SELECT s, 0 FROM sseed
+      UNION
+      SELECT sym.dst, walk.d + 1
+      FROM walk JOIN sym ON walk.v = sym.src
+      WHERE walk.d < {_BFS_ITERS}
+    ),
+    dist AS (SELECT v, min(d) AS d FROM walk GROUP BY v),
+    tgt AS (SELECT max(v) AS t FROM dist),
+    parent AS (
+      SELECT dv.v AS v, min(du.v) AS p
+      FROM dist dv
+        JOIN sym ON sym.dst = dv.v
+        JOIN dist du ON du.v = sym.src AND du.d = dv.d - 1
+      GROUP BY dv.v
+    ),
+    trace(step, vid) AS (
+      SELECT d.d, tgt.t FROM tgt JOIN dist d ON d.v = tgt.t
+      UNION ALL
+      SELECT tr.step - 1, p.p
+      FROM trace tr JOIN parent p ON p.v = tr.vid
+      WHERE tr.step > 0
+    )
+    SELECT cast(step AS INT) AS step, vid FROM trace
+    """,
+)
+def graph_part_path_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One reconstructed shortest path: from the min-vid part to the
+    max-vid part reachable within {_BFS_ITERS} hops, walking min-vid
+    parent pointers. Returns (step, vid) with step = hop distance from
+    the source — row step=0 is the source, the max step the target."""
+    edges = part_graph_edges(spark, sf_dir)
+    verts = undirect(edges).select(F.col("src").alias("vid")).distinct()
+    s_vid = verts.agg(F.min("vid")).first()[0]
+    dist = bfs_distances(
+        edges, verts.filter(F.col("vid") == s_vid), max_iter=_BFS_ITERS
+    ).localCheckpoint(eager=True)
+    t_row = dist.agg(
+        F.max("vid").alias("t")
+    ).join(dist, F.col("t") == F.col("vid")).select("t", "dist").first()
+    t_vid, t_dist = t_row["t"], t_row["dist"]
+
+    sym = undirect(edges)
+    parent = (
+        dist.alias("dv")
+        .join(sym, F.col("dv.vid") == sym["dst"])
+        .join(
+            dist.alias("du"),
+            (F.col("du.vid") == sym["src"])
+            & (F.col("du.dist") == F.col("dv.dist") - 1),
+        )
+        .groupBy(F.col("dv.vid").alias("v"))
+        .agg(F.min(F.col("du.vid")).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    rows = spark.createDataFrame(
+        [(int(t_dist), int(t_vid))], "step int, vid long"
+    )
+    out = rows
+    cur = rows
+    for _ in range(int(t_dist)):
+        cur = (
+            cur.join(parent, cur["vid"] == parent["v"])
+            .select(
+                (F.col("step") - 1).cast("int").alias("step"),
+                F.col("p").alias("vid"),
+            )
+        )
+        out = out.unionByName(cur)
+    return out
+
+
 @register(
     "graph_part_ppr",
     oracle=f"""
