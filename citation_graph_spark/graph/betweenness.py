@@ -139,6 +139,18 @@ def edge_betweenness_sampled(
         e, verts, done = _brandes_state(
             edges, sources, max_iter, num_partitions, metrics_path
         )
+        out = edge_dependency_lineage(e, done)
+        e.unpersist()
+        return out
+
+
+def edge_dependency_lineage(e: DataFrame, done: DataFrame) -> DataFrame:
+    """Final edge aggregation over the Brandes state (unmaterialized
+    lineage, exposed for the plan-regression suite): canonical edges
+    joined twice against the per-(pivot, vertex) state, per-DAG-edge
+    dependency term, (a, b) groupBy, left join back to the canonical
+    edge set."""
+    if True:  # (kept block-indented to minimize the extraction diff)
         v_side = done.select(
             "s",
             F.col("vid").alias("v"),
@@ -181,7 +193,6 @@ def edge_betweenness_sampled(
             .cast("long")
             .alias("eb_micro"),
         )
-        e.unpersist()
         return out
 
 

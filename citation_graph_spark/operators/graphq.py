@@ -1877,6 +1877,66 @@ def graph_part_vertex_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "graph_part_coarsen",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    {_MM_CTE},
+    svmap AS (
+      SELECT vt.vid,
+             CAST(CASE WHEN mt.mate IS NOT NULL
+                       THEN least(vt.vid, mt.mate)
+                       ELSE vt.vid END AS BIGINT) AS sv
+      FROM verts vt LEFT JOIN mates mt ON vt.vid = mt.vid
+    )
+    SELECT least(sa.sv, sb.sv) AS a, greatest(sa.sv, sb.sv) AS b,
+           count(*) AS w
+    FROM edges e
+      JOIN svmap sa ON sa.vid = e.src
+      JOIN svmap sb ON sb.vid = e.dst
+    WHERE sa.sv <> sb.sv
+    GROUP BY 1, 2
+    """,
+)
+def graph_part_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One multilevel coarsening step (the METIS/Karypis–Kumar
+    matching-contraction primitive — how billion-edge graphs get
+    partitioned): contract each matched pair of the deterministic
+    maximal matching into a supervertex labelled min(v, mate), then
+    aggregate the quotient multigraph — (a, b, w) with w = number of
+    original edges collapsed onto the supervertex pair, internal edges
+    dropped. Matching halves (worst-case bounds) the vertex count per
+    level; the quotient groupBy is the only new shuffle, keyed on the
+    supervertex pair."""
+    from citation_graph_spark.graph import maximal_matching
+
+    edges = part_graph_edges(spark, sf_dir)
+    m = maximal_matching(edges, max_iter=100)
+    svmap = m.select(
+        "vid",
+        F.when(
+            F.col("matched") == 1, F.least(F.col("vid"), F.col("mate"))
+        )
+        .otherwise(F.col("vid"))
+        .cast("long")
+        .alias("sv"),
+    )
+    sa = svmap.select(F.col("vid").alias("src"), F.col("sv").alias("sva"))
+    sb = svmap.select(F.col("vid").alias("dst"), F.col("sv").alias("svb"))
+    return (
+        edges.select("src", "dst")
+        .join(sa, "src")
+        .join(sb, "dst")
+        .filter(F.col("sva") != F.col("svb"))
+        .select(
+            F.least("sva", "svb").alias("a"),
+            F.greatest("sva", "svb").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
 # --------------------------------------------------------------------------
 _WIDEST_INF = 4611686018427387904  # 2^62, graph/traversal.py sentinel
 

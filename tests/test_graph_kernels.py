@@ -621,3 +621,32 @@ def test_coloring_clique_uses_exactly_k_colors(spark):
     el = [(i, j) for i in range(k) for j in range(i + 1, k)]
     rows = greedy_coloring(edges_df(spark, el)).collect()
     assert sorted(r["color"] for r in rows) == list(range(k))
+
+
+def test_coarsen_invariants(spark):
+    """Matching-contraction conservation laws at sf0.001: every
+    original edge is either internal to a matched pair or counted in
+    exactly one quotient weight; supervertices = n − matched pairs;
+    no self-loops survive."""
+    from citation_graph_spark.operators.graphq import (
+        graph_part_coarsen,
+        part_graph_edges,
+    )
+    from citation_graph_spark.graph import maximal_matching
+
+    sf = "/root/testdata/sf0.001"
+    edges = part_graph_edges(spark, sf)
+    n_edges = edges.count()
+    m = {r["vid"]: (r["mate"], r["matched"]) for r in
+         maximal_matching(edges, max_iter=100).collect()}
+    pairs = {tuple(sorted((v, mt))) for v, (mt, ok) in m.items() if ok}
+    internal = sum(
+        1 for r in edges.collect()
+        if tuple(sorted((r["src"], r["dst"]))) in pairs
+    )
+    q = graph_part_coarsen(spark, sf).collect()
+    assert all(r["a"] < r["b"] for r in q)
+    assert sum(r["w"] for r in q) + internal == n_edges
+    sv = {min(v, mt) if ok else v for v, (mt, ok) in m.items()}
+    assert {x for r in q for x in (r["a"], r["b"])} <= sv
+    assert len(sv) == len(m) - len(pairs)

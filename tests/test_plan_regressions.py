@@ -699,3 +699,72 @@ def test_event_transitions_one_window_one_rollup(stats):
     s = stats("event_transitions")
     assert s["cartesian"] == 0
     assert s["exchanges"] <= 4
+
+
+def test_bm25_search_pruned_scan_keyed_joins(spark):
+    """BM25: the token scan must prune to (doc_id, text); the df join
+    broadcasts; no cartesian anywhere."""
+    with static_plans(spark):
+        s = plan_stats(operators.QUERIES["bm25_search"](spark, SF_DIR))
+    assert s["cartesian"] == 0
+    assert s["read_schemas"] and all(
+        "source" not in r and "lang" not in r for r in s["read_schemas"]
+    ), s["read_schemas"]
+    assert s["broadcast_joins"] >= 1
+
+
+def test_edge_betweenness_final_no_cartesian(spark):
+    """The edge-dependency aggregation must stay equi-keyed: two state
+    joins + one (a,b) groupBy + left join, no cartesian product."""
+    from citation_graph_spark.graph.betweenness import (
+        edge_dependency_lineage,
+    )
+    from citation_graph_spark.graph.degrees import undirect
+    from citation_graph_spark.operators.graphq import part_graph_edges
+
+    e = undirect(part_graph_edges(spark, SF_DIR).select("src", "dst"))
+    done = (
+        e.select(F.col("src").alias("vid"))
+        .distinct()
+        .select(
+            F.col("vid").alias("s"),
+            "vid",
+            F.lit(0).alias("dist"),
+            F.lit(1).cast("long").alias("sigma"),
+            F.lit(0.0).alias("delta"),
+        )
+    )
+    with static_plans(spark):
+        s = plan_stats(edge_dependency_lineage(e, done))
+    assert s["cartesian"] == 0
+
+
+def test_path_parent_table_equi_joins_only(spark):
+    """Shortest-path parent derivation: dist⨝sym⨝dist must stay
+    equi-keyed (the dist-1 predicate rides the vid equi-join)."""
+    from citation_graph_spark.graph.degrees import undirect
+    from citation_graph_spark.operators.graphq import part_graph_edges
+
+    sym = undirect(part_graph_edges(spark, SF_DIR).select("src", "dst"))
+    # fresh lineage for the dist side (the registered query's dist table
+    # is a checkpointed BFS output) — avoids the ambiguous-self-join trap
+    dist = (
+        undirect(part_graph_edges(spark, SF_DIR).select("src", "dst"))
+        .select(F.col("src").alias("vid"))
+        .distinct()
+        .select("vid", (F.col("vid") % 5).cast("int").alias("dist"))
+    )
+    parent = (
+        dist.alias("dv")
+        .join(sym, F.col("dv.vid") == sym["dst"])
+        .join(
+            dist.alias("du"),
+            (F.col("du.vid") == sym["src"])
+            & (F.col("du.dist") == F.col("dv.dist") - 1),
+        )
+        .groupBy(F.col("dv.vid").alias("v"))
+        .agg(F.min(F.col("du.vid")).alias("p"))
+    )
+    with static_plans(spark):
+        s = plan_stats(parent)
+    assert s["cartesian"] == 0

@@ -78,6 +78,9 @@ AUDIT = [
     ("doc_weighted_sample", "systematic weighted sample: one range exchange + per-range cumsum + broadcast offsets"),
     ("event_transitions", "Markov transition counts: one user-keyed window + one pair rollup"),
     ("event_retention_cohorts", "retention triangle: user-keyed min + distinct + join + tiny rollup"),
+    ("bm25_search", "integer BM25: token explode + two map-side aggs + broadcast df join + global top-k window"),
+    ("edge_betweenness_final", "edge betweenness final agg: canonical edges ⨝ Brandes state ×2 + (a,b) groupBy — rounds covered by the betweenness entries"),
+    ("path_parents", "shortest-path parent table: dist ⨝ sym ⨝ dist equi-joins + min-parent groupBy (BFS rounds audited separately)"),
 ]
 
 
@@ -87,6 +90,56 @@ def _lineage(spark, name: str):
     per-round kernel bodies)."""
     from citation_graph_spark.tables import load_tables
 
+    if name == "edge_betweenness_final":
+        from pyspark.sql import functions as F
+
+        from citation_graph_spark.graph.betweenness import (
+            edge_dependency_lineage,
+        )
+        from citation_graph_spark.graph.degrees import undirect
+        from citation_graph_spark.operators.graphq import part_graph_edges
+
+        e = undirect(part_graph_edges(spark, SF_DIR).select("src", "dst"))
+        # plan-shape stand-in for the checkpointed Brandes state: same
+        # schema and a real distributed lineage, no kernel execution
+        done = (
+            e.select(F.col("src").alias("vid"))
+            .distinct()
+            .select(
+                F.col("vid").alias("s"),
+                "vid",
+                F.lit(0).alias("dist"),
+                F.lit(1).cast("long").alias("sigma"),
+                F.lit(0.0).alias("delta"),
+            )
+        )
+        return edge_dependency_lineage(e, done)
+    if name == "path_parents":
+        from pyspark.sql import functions as F
+
+        from citation_graph_spark.graph.degrees import undirect
+        from citation_graph_spark.operators.graphq import part_graph_edges
+
+        sym = undirect(part_graph_edges(spark, SF_DIR).select("src", "dst"))
+        # fresh lineage for the dist side (mirrors the checkpointed BFS
+        # output in the registered query)
+        dist = (
+            undirect(part_graph_edges(spark, SF_DIR).select("src", "dst"))
+            .select(F.col("src").alias("vid"))
+            .distinct()
+            .select("vid", (F.col("vid") % 5).cast("int").alias("dist"))
+        )
+        return (
+            dist.alias("dv")
+            .join(sym, F.col("dv.vid") == sym["dst"])
+            .join(
+                dist.alias("du"),
+                (F.col("du.vid") == sym["src"])
+                & (F.col("du.dist") == F.col("dv.dist") - 1),
+            )
+            .groupBy(F.col("dv.vid").alias("v"))
+            .agg(F.min(F.col("du.vid")).alias("p"))
+        )
     if name == "dedup_simhash_pairs":
         # the registered query materializes via localCheckpoint;
         # audit the lineage it materializes
