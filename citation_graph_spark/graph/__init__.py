@@ -20,6 +20,7 @@ from citation_graph_spark.graph.traversal import (
 )
 from citation_graph_spark.graph.kcore import k_core
 from citation_graph_spark.graph.ktruss import k_truss
+from citation_graph_spark.graph.spectral import fiedler_scores, spectral_bisect
 from citation_graph_spark.graph.betweenness import (
     betweenness_sampled,
     edge_betweenness_sampled,
@@ -55,6 +56,8 @@ __all__ = [
     "k_truss",
     "betweenness_sampled",
     "edge_betweenness_sampled",
+    "fiedler_scores",
+    "spectral_bisect",
     "hits",
     "katz_centrality",
     "strongly_connected_components",

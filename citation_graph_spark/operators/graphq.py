@@ -1938,6 +1938,75 @@ def graph_part_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+_FIEDLER_ITERS = 40
+
+
+@register(
+    "graph_part_spectral_bisect",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    reach(v, l) AS (
+      SELECT vid, vid FROM verts
+      UNION
+      SELECT s.dst, reach.l FROM reach JOIN sym s ON reach.v = s.src
+    ),
+    comp AS (SELECT v AS vid, min(l) AS c FROM reach GROUP BY v),
+    topc AS (
+      SELECT c FROM comp GROUP BY c ORDER BY count(*) DESC, c LIMIT 1
+    ),
+    cverts AS (SELECT vid FROM comp JOIN topc ON comp.c = topc.c),
+    csym AS (
+      SELECT s.src, s.dst FROM sym s JOIN cverts cv ON s.src = cv.vid
+    ),
+    cdeg AS (SELECT src AS vid, count(*) AS deg FROM csym GROUP BY src),
+    params AS (
+      SELECT (SELECT max(deg) FROM cdeg) + 1 AS sigma,
+             (SELECT count(*) FROM cverts) AS n
+    ),
+    csyms AS (
+      SELECT src, dst, CAST(1 AS BIGINT) AS w FROM csym
+      UNION ALL
+      SELECT d.vid, d.vid, CAST(p.sigma - d.deg AS BIGINT)
+      FROM cdeg d CROSS JOIN params p
+    ),
+    fied(it, v, x) AS (
+      SELECT 0, vid, CAST((vid % 7) - 3 AS BIGINT) FROM cverts
+      UNION ALL
+      SELECT z.it, z.v,
+             CAST(CASE WHEN max(z.z) OVER () = min(z.z) OVER () THEN 0
+                  ELSE (z.z - min(z.z) OVER ()) * {2 * 10000}
+                       // (max(z.z) OVER () - min(z.z) OVER ())
+                       - 10000 END AS BIGINT)
+      FROM (
+        SELECT y.it, y.v, p.n * y.y - sum(y.y) OVER () AS z
+        FROM (
+          SELECT w.it + 1 AS it, s.src AS v, sum(s.w * w.x) AS y
+          FROM fied w JOIN csyms s ON w.v = s.dst
+          WHERE w.it < {_FIEDLER_ITERS}
+          GROUP BY 1, 2
+        ) y CROSS JOIN params p
+      ) z
+    )
+    SELECT v AS vid, x AS score_q4, CAST(x > 0 AS INT) AS side
+    FROM fied WHERE it = {_FIEDLER_ITERS}
+    """,
+)
+def graph_part_spectral_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fiedler-sign spectral bisection of the part graph's largest
+    brand component (graph/spectral.py): 40 rounds of integer deflated
+    power iteration on σI − L, per-round mean projection cleared of
+    its /n (z = n·y − Σy) and min-shifted before the integer rescale
+    so Spark's truncating ``div`` and DuckDB's flooring ``//`` agree —
+    the recursive-CTE oracle replays every round bit-exactly. The
+    balanced-cut primitive that pairs with graph_part_coarsen into a
+    multilevel partitioner."""
+    from citation_graph_spark.graph.spectral import spectral_bisect
+
+    edges = part_graph_edges(spark, sf_dir).select("src", "dst")
+    return spectral_bisect(edges, max_iter=_FIEDLER_ITERS)
+
+
+# --------------------------------------------------------------------------
 _WIDEST_INF = 4611686018427387904  # 2^62, graph/traversal.py sentinel
 
 

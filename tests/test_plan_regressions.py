@@ -768,3 +768,20 @@ def test_path_parent_table_equi_joins_only(spark):
     with static_plans(spark):
         s = plan_stats(parent)
     assert s["cartesian"] == 0
+
+
+def test_fiedler_round_bounded_exchanges(spark):
+    """One Fiedler M·x round over materialized-equivalent inputs (the
+    kernel persists syms and checkpoints x, so a round is exactly one
+    join + one vertex-keyed groupBy): bounded exchanges, no cartesian."""
+    from citation_graph_spark.graph.spectral import fiedler_round_lineage
+
+    syms = spark.createDataFrame(
+        [(0, 1, 1), (1, 0, 1), (0, 0, 3), (1, 1, 3)],
+        "src long, dst long, w long",
+    )
+    x = spark.createDataFrame([(0, -3), (1, -2)], "vid long, x long")
+    with static_plans(spark):
+        s = plan_stats(fiedler_round_lineage(syms, x))
+    assert s["cartesian"] == 0
+    assert s["exchanges"] <= 6  # the ev_round ceiling: join + agg keys

@@ -1,0 +1,111 @@
+"""Spectral bisection: exact numpy replay of the integer kernel plus
+semantic checks (barbell split, kill-resume bit-equality)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from citation_graph_spark.graph.spectral import (
+    FIEDLER_SCALE,
+    fiedler_scores,
+    spectral_bisect,
+)
+from tests.conftest import edges_df
+
+
+def numpy_replay(n, edge_list, iters):
+    """Bit-exact sequential replay of the integer deflated power
+    iteration (same σ, seed, projection, min-shift rescale)."""
+    adj = [set() for _ in range(n)]
+    for a, b in edge_list:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    deg = np.array([len(adj[v]) for v in range(n)], dtype=np.int64)
+    sigma = int(deg.max()) + 1
+    x = np.array([(v % 7) - 3 for v in range(n)], dtype=np.int64)
+    for _ in range(iters):
+        y = np.array(
+            [
+                (sigma - deg[v]) * x[v] + sum(x[u] for u in adj[v])
+                for v in range(n)
+            ],
+            dtype=np.int64,
+        )
+        z = n * y - y.sum()
+        if z.max() == z.min():
+            x = np.zeros(n, dtype=np.int64)
+        else:
+            x = (z - z.min()) * (2 * FIEDLER_SCALE) // (
+                z.max() - z.min()
+            ) - FIEDLER_SCALE
+    return x
+
+
+def barbell(k):
+    """Two k-cliques joined by a single bridge edge."""
+    el = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            el.append((i, j))
+            el.append((k + i, k + j))
+    el.append((k - 1, k))
+    return el
+
+
+def test_fiedler_matches_numpy_replay(spark):
+    el = barbell(6)
+    got = {
+        r["vid"]: r["score_q4"]
+        for r in fiedler_scores(edges_df(spark, el), max_iter=25).collect()
+    }
+    want = numpy_replay(12, el, 25)
+    for v in range(12):
+        assert got[v] == want[v], v
+
+
+def test_bisect_splits_barbell(spark):
+    el = barbell(8)
+    rows = spectral_bisect(edges_df(spark, el), max_iter=40).collect()
+    side = {r["vid"]: r["side"] for r in rows}
+    left = {side[v] for v in range(8)}
+    right = {side[v] for v in range(8, 16)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_bisect_picks_largest_component(spark):
+    el = barbell(5) + [(100, 101), (101, 102)]  # small second component
+    rows = spectral_bisect(edges_df(spark, el), max_iter=30).collect()
+    vids = {r["vid"] for r in rows}
+    assert vids == set(range(10))  # the 3-vertex path emits no rows
+
+
+def test_fiedler_resume_bit_identical(spark, tmp_path):
+    el = [(s, d) for s, d, _ in __import__(
+        "tests.oracles", fromlist=["random_graph"]
+    ).random_graph(60, 170, seed=11)]
+    e = edges_df(spark, el)
+    ck = str(tmp_path / "fied")
+    # interrupted run: 10 rounds checkpointed...
+    fiedler_scores(e, max_iter=10, checkpoint_dir=ck,
+                   checkpoint_interval=5).collect()
+    # ...resumed to 20, vs uninterrupted 20
+    resumed = {
+        r["vid"]: r["score_q4"]
+        for r in fiedler_scores(
+            e, max_iter=20, checkpoint_dir=ck, resume=True
+        ).collect()
+    }
+    cold = {
+        r["vid"]: r["score_q4"]
+        for r in fiedler_scores(e, max_iter=20).collect()
+    }
+    assert resumed == cold
+
+
+def test_degenerate_single_edge(spark):
+    rows = fiedler_scores(edges_df(spark, [(0, 1)]), max_iter=8).collect()
+    got = {r["vid"]: r["score_q4"] for r in rows}
+    want = numpy_replay(2, [(0, 1)], 8)
+    assert got == {0: int(want[0]), 1: int(want[1])}

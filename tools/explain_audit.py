@@ -81,6 +81,7 @@ AUDIT = [
     ("bm25_search", "integer BM25: token explode + two map-side aggs + broadcast df join + global top-k window"),
     ("edge_betweenness_final", "edge betweenness final agg: canonical edges ⨝ Brandes state ×2 + (a,b) groupBy — rounds covered by the betweenness entries"),
     ("path_parents", "shortest-path parent table: dist ⨝ sym ⨝ dist equi-joins + min-parent groupBy (BFS rounds audited separately)"),
+    ("fiedler_round", "one Fiedler M·x round: state ⨝ weighted self-loop edges + vertex-keyed int64 sum"),
 ]
 
 
@@ -90,6 +91,15 @@ def _lineage(spark, name: str):
     per-round kernel bodies)."""
     from citation_graph_spark.tables import load_tables
 
+    if name == "fiedler_round":
+        from citation_graph_spark.graph.spectral import fiedler_round_lineage
+
+        syms = spark.createDataFrame(
+            [(0, 1, 1), (1, 0, 1), (0, 0, 3), (1, 1, 3)],
+            "src long, dst long, w long",
+        )
+        x = spark.createDataFrame([(0, -3), (1, -2)], "vid long, x long")
+        return fiedler_round_lineage(syms, x)
     if name == "edge_betweenness_final":
         from pyspark.sql import functions as F
 
