@@ -1233,7 +1233,7 @@ _CORPUS_CTE = f"""
       WHERE s.vid <> t.vid
       GROUP BY 1, 2
     ),
-    csym AS (SELECT DISTINCT src, dst FROM (
+    csym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
         SELECT src, dst FROM cedges UNION ALL SELECT dst, src FROM cedges))
     -- DISTINCT is explicit (not a bare UNION): inside WITH RECURSIVE,
     -- DuckDB 1.0 compiles every CTE's set-op as the recursive form and a
@@ -1882,7 +1882,7 @@ def graph_part_vertex_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE {_GRAPH_CTE},
     {_MM_CTE},
-    svmap AS (
+    svmap AS MATERIALIZED (
       SELECT vt.vid,
              CAST(CASE WHEN mt.mate IS NOT NULL
                        THEN least(vt.vid, mt.mate)
@@ -1950,20 +1950,20 @@ _FIEDLER_ITERS = 40
       UNION
       SELECT s.dst, reach.l FROM reach JOIN sym s ON reach.v = s.src
     ),
-    comp AS (SELECT v AS vid, min(l) AS c FROM reach GROUP BY v),
-    topc AS (
+    comp AS MATERIALIZED (SELECT v AS vid, min(l) AS c FROM reach GROUP BY v),
+    topc AS MATERIALIZED (
       SELECT c FROM comp GROUP BY c ORDER BY count(*) DESC, c LIMIT 1
     ),
-    cverts AS (SELECT vid FROM comp JOIN topc ON comp.c = topc.c),
-    csym AS (
+    cverts AS MATERIALIZED (SELECT vid FROM comp JOIN topc ON comp.c = topc.c),
+    csym AS MATERIALIZED (
       SELECT s.src, s.dst FROM sym s JOIN cverts cv ON s.src = cv.vid
     ),
-    cdeg AS (SELECT src AS vid, count(*) AS deg FROM csym GROUP BY src),
-    params AS (
+    cdeg AS MATERIALIZED (SELECT src AS vid, count(*) AS deg FROM csym GROUP BY src),
+    params AS MATERIALIZED (
       SELECT (SELECT max(deg) FROM cdeg) + 1 AS sigma,
              (SELECT count(*) FROM cverts) AS n
     ),
-    csyms AS (
+    csyms AS MATERIALIZED (
       SELECT src, dst, CAST(1 AS BIGINT) AS w FROM csym
       UNION ALL
       SELECT d.vid, d.vid, CAST(p.sigma - d.deg AS BIGINT)
@@ -2004,6 +2004,119 @@ def graph_part_spectral_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = part_graph_edges(spark, sf_dir).select("src", "dst")
     return spectral_bisect(edges, max_iter=_FIEDLER_ITERS)
+
+
+@register(
+    "graph_part_multilevel_partition",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    {_MM_CTE},
+    svmap AS MATERIALIZED (
+      SELECT vt.vid,
+             CAST(CASE WHEN mt.mate IS NOT NULL
+                       THEN least(vt.vid, mt.mate)
+                       ELSE vt.vid END AS BIGINT) AS sv
+      FROM verts vt LEFT JOIN mates mt ON vt.vid = mt.vid
+    ),
+    qedges AS MATERIALIZED (
+      SELECT DISTINCT least(sa.sv, sb.sv) AS a, greatest(sa.sv, sb.sv) AS b
+      FROM edges e
+        JOIN svmap sa ON sa.vid = e.src
+        JOIN svmap sb ON sb.vid = e.dst
+      WHERE sa.sv <> sb.sv
+    ),
+    qsym AS MATERIALIZED (SELECT a AS src, b AS dst FROM qedges
+             UNION ALL SELECT b, a FROM qedges),
+    qreach(v, l) AS (
+      SELECT DISTINCT src, src FROM qsym
+      UNION
+      SELECT s.dst, qreach.l FROM qreach JOIN qsym s ON qreach.v = s.src
+    ),
+    qcomp AS MATERIALIZED (SELECT v AS vid, min(l) AS c FROM qreach GROUP BY v),
+    qtopc AS MATERIALIZED (
+      SELECT c FROM qcomp GROUP BY c ORDER BY count(*) DESC, c LIMIT 1
+    ),
+    qcverts AS MATERIALIZED (SELECT vid FROM qcomp JOIN qtopc ON qcomp.c = qtopc.c),
+    qcsym AS MATERIALIZED (
+      SELECT s.src, s.dst FROM qsym s JOIN qcverts cv ON s.src = cv.vid
+    ),
+    qcdeg AS MATERIALIZED (SELECT src AS vid, count(*) AS deg FROM qcsym GROUP BY src),
+    qparams AS MATERIALIZED (
+      SELECT (SELECT max(deg) FROM qcdeg) + 1 AS sigma,
+             (SELECT count(*) FROM qcverts) AS n
+    ),
+    qcsyms AS MATERIALIZED (
+      SELECT src, dst, CAST(1 AS BIGINT) AS w FROM qcsym
+      UNION ALL
+      SELECT d.vid, d.vid, CAST(p.sigma - d.deg AS BIGINT)
+      FROM qcdeg d CROSS JOIN qparams p
+    ),
+    qfied(it, v, x) AS (
+      SELECT 0, vid, CAST((vid % 7) - 3 AS BIGINT) FROM qcverts
+      UNION ALL
+      SELECT z.it, z.v,
+             CAST(CASE WHEN max(z.z) OVER () = min(z.z) OVER () THEN 0
+                  ELSE (z.z - min(z.z) OVER ()) * {2 * 10000}
+                       // (max(z.z) OVER () - min(z.z) OVER ())
+                       - 10000 END AS BIGINT)
+      FROM (
+        SELECT y.it, y.v, p.n * y.y - sum(y.y) OVER () AS z
+        FROM (
+          SELECT w.it + 1 AS it, s.src AS v, sum(s.w * w.x) AS y
+          FROM qfied w JOIN qcsyms s ON w.v = s.dst
+          WHERE w.it < {_FIEDLER_ITERS}
+          GROUP BY 1, 2
+        ) y CROSS JOIN qparams p
+      ) z
+    )
+    SELECT sv.vid, CAST(f.x > 0 AS INT) AS side
+    FROM svmap sv
+      JOIN qfied f ON f.v = sv.sv AND f.it = {_FIEDLER_ITERS}
+    """,
+)
+def graph_part_multilevel_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One full multilevel-partitioner cycle (the METIS recipe, run
+    end-to-end on engine kernels): matching-contraction coarsening
+    (graph_part_coarsen's quotient, unweighted), Fiedler-sign spectral
+    bisection of the coarse graph's largest component
+    (graph/spectral.py), and projection of the coarse side labels back
+    through the supervertex map to every original vertex. Returns
+    (vid, side) for the members of the bisected component. Every stage
+    is the already-oracle-checked kernel; the oracle chains the same
+    three replays in one SQL statement."""
+    from citation_graph_spark.graph import maximal_matching
+    from citation_graph_spark.graph.spectral import spectral_bisect
+
+    edges = part_graph_edges(spark, sf_dir)
+    m = maximal_matching(edges, max_iter=100)
+    svmap = m.select(
+        "vid",
+        F.when(
+            F.col("matched") == 1, F.least(F.col("vid"), F.col("mate"))
+        )
+        .otherwise(F.col("vid"))
+        .cast("long")
+        .alias("sv"),
+    ).localCheckpoint(eager=True)
+    sa = svmap.select(F.col("vid").alias("src"), F.col("sv").alias("sva"))
+    sb = svmap.select(F.col("vid").alias("dst"), F.col("sv").alias("svb"))
+    qedges = (
+        edges.select("src", "dst")
+        .join(sa, "src")
+        .join(sb, "dst")
+        .filter(F.col("sva") != F.col("svb"))
+        .select(
+            F.least("sva", "svb").alias("src"),
+            F.greatest("sva", "svb").alias("dst"),
+        )
+        .distinct()
+    )
+    coarse = spectral_bisect(qedges, max_iter=_FIEDLER_ITERS)
+    return svmap.join(
+        coarse.select(F.col("vid").alias("sv"), "side"), "sv"
+    ).select("vid", "side")
 
 
 # --------------------------------------------------------------------------

@@ -109,3 +109,25 @@ def test_degenerate_single_edge(spark):
     got = {r["vid"]: r["score_q4"] for r in rows}
     want = numpy_replay(2, [(0, 1)], 8)
     assert got == {0: int(want[0]), 1: int(want[1])}
+
+
+def test_multilevel_projection_consistency(spark):
+    """Matched pairs must land on the same side (they share a
+    supervertex), and the side labels must agree with bisecting the
+    quotient directly."""
+    from citation_graph_spark.operators.graphq import (
+        graph_part_multilevel_partition,
+        part_graph_edges,
+    )
+    from citation_graph_spark.graph import maximal_matching
+
+    sf = "/root/testdata/sf0.001"
+    side = {
+        r["vid"]: r["side"]
+        for r in graph_part_multilevel_partition(spark, sf).collect()
+    }
+    assert set(side.values()) == {0, 1}  # a genuine bisection
+    m = maximal_matching(part_graph_edges(spark, sf), max_iter=100)
+    for r in m.filter("matched = 1").collect():
+        if r["vid"] in side and r["mate"] in side:
+            assert side[r["vid"]] == side[r["mate"]], (r["vid"], r["mate"])
