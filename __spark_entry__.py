@@ -58,8 +58,12 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_PRIORITY = [
     # never driver-gated (computed from CORRECTNESS_r0{1,2,3} at the
     # round-4 WL-fix refresh; the newest additions prepended since):
-    # the WL fix, the newest operators, the rest of the
-    # topology/bibliometrics/curation packs
+    # this session's additions (partitioning pipeline, edge scores,
+    # MSF, retrieval, path trace) first, then the WL fix, the newest
+    # operators, the rest of the topology/bibliometrics/curation packs
+    "graph_part_multilevel_partition", "graph_part_spectral_bisect",
+    "graph_part_coarsen", "graph_part_edge_betweenness", "graph_part_msf",
+    "bm25_search", "graph_part_path_trace",
     "graph_part_four_cliques", "span_dedup_ngram", "revenue_rollup",
     "corpus_link_predict_cn", "bipartite_butterflies",
     "corpus_densest_subgraph", "graph_part_mis", "graph_part_matching",
