@@ -1,6 +1,8 @@
 from citation_graph_spark.streaming.events import (
     EVENT_SCHEMA,
+    sliding_event_rates,
     stream_event_counts,
+    stream_event_rates_sliding,
     windowed_event_stats,
 )
 from citation_graph_spark.streaming.incremental import (
@@ -11,7 +13,9 @@ from citation_graph_spark.streaming.incremental import (
 
 __all__ = [
     "EVENT_SCHEMA",
+    "sliding_event_rates",
     "stream_event_counts",
+    "stream_event_rates_sliding",
     "windowed_event_stats",
     "ingest_reference_stream",
     "refresh_pagerank",

@@ -73,6 +73,62 @@ def windowed_event_stats(
     )
 
 
+def sliding_event_rates(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SLIDING-window rate per event type — the moving-
+    average serving surface (each event lands in window/slide
+    overlapping windows; state is still O(1) per open (window, key)
+    because the aggregate is algebraic). Same schema as the tumbling
+    variant so sinks are interchangeable."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window, slide).alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def stream_event_rates_sliding(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """availableNow run of the sliding aggregate over ``source_dir``
+    (complete mode, memory sink) — the moving-rate dashboard query."""
+    stats = sliding_event_rates(
+        read_event_stream(spark, source_dir), window, slide
+    )
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("event_rates_sliding")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("event_rates_sliding")
+
+
 def stream_event_counts(
     spark: SparkSession,
     source_dir: str,

@@ -130,3 +130,27 @@ def test_stream_dedup_matches_batch_dropduplicates(spark, stream_dirs):
     assert sorted(r["event_id"] for r in deduped.select("event_id").collect()) == sorted(
         r["event_id"] for r in events.select("event_id").collect()
     )
+
+
+def test_sliding_windows_match_batch_and_multiplicity(spark, stream_dirs):
+    """Sliding-window rates: the streamed result equals the same plan
+    run batch, and every event lands in exactly window/slide = 4
+    overlapping windows (1h window, 15m slide)."""
+    from citation_graph_spark.streaming import (
+        sliding_event_rates,
+        stream_event_rates_sliding,
+    )
+
+    src_dir, ckpt_dir = stream_dirs
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    target = os.path.join(src_dir, "stream")
+    for part in (0, 1, 2):
+        events.filter(F.col("event_id") % 3 == part).write.mode(
+            "append"
+        ).parquet(target)
+
+    streamed = stream_event_rates_sliding(spark, target, ckpt_dir)
+    batch = sliding_event_rates(events).collect()
+    rows = streamed.collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, batch))
+    assert sum(r["n_events"] for r in rows) == 4 * events.count()
