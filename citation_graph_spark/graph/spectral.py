@@ -260,3 +260,113 @@ def spectral_bisect(
         "score_q4",
         (F.col("score_q4") > 0).cast("int").alias("side"),
     )
+
+
+def refine_bisection(
+    edges: DataFrame,
+    sides: DataFrame,
+    rounds: int = 5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic parallel cut refinement (the Fiduccia–Mattheyses
+    move step, synchronized): per round, every vertex computes its
+    flip gain = (cut neighbors) − (uncut neighbors); the vertices that
+    flip are the positive-gain vertices that beat every positive-gain
+    NEIGHBOR on the priority (gain, smaller vid) — an independent set,
+    so each realized flip improves the cut by exactly its gain and the
+    cut size strictly decreases every round that flips anything (the
+    Jones–Plassmann/Luby symmetry-breaking discipline,
+    graph/coloring.py). No balance constraint: this is the pure
+    cut-descent move; balance is the bisector's job.
+
+    ``sides``: (vid, side) over a vertex set closed under ``edges``
+    (side ∈ {0, 1}). Returns (vid, side) after ``rounds`` rounds.
+    Priority encoding p = gain·2^33 + (2^33 − vid) keeps the pair
+    order in one int64 (vid < 2^33 — part keys and corpus ids are far
+    below; an id past that would widen the encoding, not the shape).
+    """
+    spark = edges.sparkSession
+    sym = undirect(edges.select("src", "dst"))
+    if num_partitions is None:
+        num_partitions = auto_partitions(spark, sym.count())
+    sym = sym.repartition(num_partitions, "dst").persist()
+    sym.count()
+    state = (
+        sides.select("vid", F.col("side").cast("int").alias("side"))
+        .repartition(num_partitions, "vid")
+        .localCheckpoint(eager=True)
+    )
+    p_self = (
+        F.col("gain").cast("long") * F.lit(2**33)
+        + (F.lit(2**33) - F.col("vid"))
+    )
+    with shuffle_partitions_conf(spark, num_partitions):
+        for _ in range(rounds):
+            # phase A: per-vertex same/other-side neighbor counts
+            nbr = (
+                sym.join(
+                    state.select(
+                        F.col("vid").alias("dst"),
+                        F.col("side").alias("nside"),
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("vid"))
+                .agg(
+                    F.sum(F.col("nside")).alias("s1"),
+                    F.sum(1 - F.col("nside")).alias("s0"),
+                )
+            )
+            gains = (
+                state.join(nbr, "vid", "left")
+                .select(
+                    "vid",
+                    "side",
+                    F.when(
+                        F.col("side") == 1,
+                        F.coalesce("s0", F.lit(0))
+                        - F.coalesce("s1", F.lit(0)),
+                    )
+                    .otherwise(
+                        F.coalesce("s1", F.lit(0))
+                        - F.coalesce("s0", F.lit(0))
+                    )
+                    .cast("long")
+                    .alias("gain"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            # phase B: positive-gain vertices that beat every
+            # positive-gain neighbor flip (independent set)
+            cand_nbr_best = (
+                sym.join(
+                    gains.filter(F.col("gain") > 0).select(
+                        F.col("vid").alias("dst"),
+                        p_self.alias("np"),
+                    ),
+                    "dst",
+                )
+                .groupBy(F.col("src").alias("vid"))
+                .agg(F.max("np").alias("best_nbr_p"))
+            )
+            state = (
+                gains.join(cand_nbr_best, "vid", "left")
+                .select(
+                    "vid",
+                    F.when(
+                        (F.col("gain") > 0)
+                        & (
+                            F.col("best_nbr_p").isNull()
+                            | (p_self > F.col("best_nbr_p"))
+                        ),
+                        1 - F.col("side"),
+                    )
+                    .otherwise(F.col("side"))
+                    .cast("int")
+                    .alias("side"),
+                )
+                .repartition(num_partitions, "vid")
+                .localCheckpoint(eager=True)
+            )
+    sym.unpersist()
+    return state

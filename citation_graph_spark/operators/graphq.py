@@ -2006,10 +2006,9 @@ def graph_part_spectral_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spectral_bisect(edges, max_iter=_FIEDLER_ITERS)
 
 
-@register(
-    "graph_part_multilevel_partition",
-    oracle=f"""
-    WITH RECURSIVE {_GRAPH_CTE},
+# the coarsen -> quotient-CC -> quotient-Fiedler CTE chain, shared by
+# the multilevel query and its refinement stage
+_MULTILEVEL_CORE = f"""
     {_MM_CTE},
     svmap AS MATERIALIZED (
       SELECT vt.vid,
@@ -2069,6 +2068,14 @@ def graph_part_spectral_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) y CROSS JOIN qparams p
       ) z
     )
+"""
+
+
+@register(
+    "graph_part_multilevel_partition",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    {_MULTILEVEL_CORE}
     SELECT sv.vid, CAST(f.x > 0 AS INT) AS side
     FROM svmap sv
       JOIN qfied f ON f.v = sv.sv AND f.it = {_FIEDLER_ITERS}
@@ -2117,6 +2124,86 @@ def graph_part_multilevel_partition(
     return svmap.join(
         coarse.select(F.col("vid").alias("sv"), "side"), "sv"
     ).select("vid", "side")
+
+
+_REFINE_ROUNDS = 5
+_REFINE_P = 8589934592  # 2^33 — (gain, smaller-vid) priority encoding
+
+
+@register(
+    "graph_part_partition_refine",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    {_MULTILEVEL_CORE},
+    proj AS MATERIALIZED (
+      SELECT sv.vid, CAST(f.x > 0 AS INT) AS side
+      FROM svmap sv
+        JOIN qfied f ON f.v = sv.sv AND f.it = {_FIEDLER_ITERS}
+    ),
+    rsym AS MATERIALIZED (
+      SELECT s.src, s.dst FROM sym s JOIN proj p ON s.src = p.vid
+    ),
+    rsymx AS MATERIALIZED (
+      SELECT src, dst, false AS is_self FROM rsym
+      UNION ALL
+      SELECT vid, vid, true FROM proj
+    ),
+    -- two recursive steps per refinement round: even→odd computes
+    -- gains (side carried by self-message), odd→even applies the
+    -- independent-set flips (positive gain, beats every positive-gain
+    -- neighbor on the (gain, smaller-vid) priority)
+    refz(it, v, side, gain) AS (
+      SELECT 0, vid, side, CAST(0 AS BIGINT) FROM proj
+      UNION ALL
+      SELECT r.it + 1, m.dst,
+        CASE WHEN (r.it % 2) = 0
+             THEN max(CASE WHEN m.is_self THEN r.side END)
+             WHEN max(CASE WHEN m.is_self THEN r.gain END) > 0
+                  AND max(CASE WHEN m.is_self THEN
+                        r.gain * {_REFINE_P} + ({_REFINE_P} - r.v) END)
+                      > coalesce(max(CASE WHEN NOT m.is_self
+                                          AND r.gain > 0 THEN
+                        r.gain * {_REFINE_P} + ({_REFINE_P} - r.v) END),
+                        -1)
+             THEN 1 - max(CASE WHEN m.is_self THEN r.side END)
+             ELSE max(CASE WHEN m.is_self THEN r.side END) END,
+        CASE WHEN (r.it % 2) = 0 THEN
+          CASE WHEN max(CASE WHEN m.is_self THEN r.side END) = 1
+               THEN sum(CASE WHEN NOT m.is_self
+                             THEN 1 - r.side ELSE 0 END)
+                    - sum(CASE WHEN NOT m.is_self
+                               THEN r.side ELSE 0 END)
+               ELSE sum(CASE WHEN NOT m.is_self
+                             THEN r.side ELSE 0 END)
+                    - sum(CASE WHEN NOT m.is_self
+                               THEN 1 - r.side ELSE 0 END) END
+        ELSE CAST(0 AS BIGINT) END
+      FROM refz r JOIN rsymx m ON r.v = m.src
+      WHERE r.it < {2 * _REFINE_ROUNDS}
+      GROUP BY r.it, m.dst
+    )
+    SELECT v AS vid, side FROM refz WHERE it = {2 * _REFINE_ROUNDS}
+    """,
+)
+def graph_part_partition_refine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The third METIS stage: Fiduccia–Mattheyses-style parallel cut
+    refinement of the projected multilevel bisection
+    (graph/spectral.py ``refine_bisection``) — 5 synchronized rounds
+    of independent-set positive-gain flips, cut size strictly
+    decreasing whenever a flip happens. The oracle replays the same
+    schedule as a two-phase full-state recursive CTE (gain phase /
+    flip phase), chained onto the multilevel oracle so engine and SQL
+    refine the identical starting partition."""
+    from citation_graph_spark.graph.spectral import refine_bisection
+
+    sides = graph_part_multilevel_partition(spark, sf_dir)
+    edges = part_graph_edges(spark, sf_dir).select("src", "dst")
+    comp_edges = edges.join(
+        sides.select(F.col("vid").alias("src")), "src", "left_semi"
+    )
+    return refine_bisection(comp_edges, sides, rounds=_REFINE_ROUNDS)
 
 
 # --------------------------------------------------------------------------

@@ -131,3 +131,68 @@ def test_multilevel_projection_consistency(spark):
     for r in m.filter("matched = 1").collect():
         if r["vid"] in side and r["mate"] in side:
             assert side[r["vid"]] == side[r["mate"]], (r["vid"], r["mate"])
+
+
+def python_refine(n, edge_list, sides, rounds):
+    """Sequential replay of the synchronized refinement schedule."""
+    adj = [set() for _ in range(n)]
+    for a, b in edge_list:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    P = 2**33
+    side = dict(sides)
+    for _ in range(rounds):
+        gain = {
+            v: sum(1 if side[u] != side[v] else -1 for u in adj[v])
+            for v in side
+        }
+        pri = {v: gain[v] * P + (P - v) for v in side}
+        flip = {
+            v
+            for v in side
+            if gain[v] > 0
+            and all(
+                not (gain.get(u, 0) > 0 and pri[u] > pri[v])
+                for u in adj[v]
+            )
+        }
+        for v in flip:
+            side[v] = 1 - side[v]
+    return side
+
+
+def cut_size(edge_list, side):
+    return sum(
+        1 for a, b in edge_list
+        if a != b and a in side and b in side and side[a] != side[b]
+    )
+
+
+def test_refine_matches_python_replay_and_decreases_cut(spark):
+    from citation_graph_spark.graph.spectral import refine_bisection
+    from tests.oracles import random_graph
+
+    el = [(s, d) for s, d, _ in random_graph(80, 300, seed=7)]
+    n = 80
+    verts = sorted({v for e in el for v in e})
+    init = {v: v % 2 for v in verts}  # deliberately bad partition
+    sides_df = spark.createDataFrame(
+        [(v, s) for v, s in init.items()], "vid long, side int"
+    )
+    got = {
+        r["vid"]: r["side"]
+        for r in refine_bisection(
+            edges_df(spark, el), sides_df, rounds=4
+        ).collect()
+    }
+    want = python_refine(n, el, init.items(), 4)
+    assert got == want
+    # cut must not increase — and on this bad start it strictly improves
+    assert cut_size(el, got) < cut_size(el, init)
+    # per-round monotone non-increase
+    prev = cut_size(el, init)
+    for r in range(1, 5):
+        cur = cut_size(el, python_refine(n, el, init.items(), r))
+        assert cur <= prev
+        prev = cur
