@@ -660,3 +660,110 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _BM25_TOPK)
         .select("doc_id", F.col("score_milli").cast("long"), F.col("rk").cast("int"))
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "inverted_index_terms",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(
+               string_split_regex(trim(coalesce(text, '')), '\s+'),
+               (x, i) -> struct_pack(term := lower(x), pos := i - 1)
+             ) AS l
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, u.s.term AS term, u.s.pos AS pos
+      FROM toks, unnest(l) AS u(s)
+    )
+    SELECT doc_id, term, count(*) AS tf,
+           string_agg(pos, ',' ORDER BY pos) AS positions
+    FROM tok
+    WHERE term IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}',
+                   '{_BM25_TERMS[2]}')
+    GROUP BY doc_id, term
+    """,
+)
+def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index postings for the BM25 query terms:
+    (doc_id, term, tf, positions) with positions the 0-based token
+    offsets, comma-joined in ascending order — the structure a phrase
+    or proximity query walks, and the companion artifact to
+    ``bm25_search``'s scores. At corpus scale the term filter bounds
+    the explode output to matching tokens (filter sits directly on the
+    generated column, before the shuffle) and the groupBy shuffles on
+    (doc_id, term) — well-spread keys; the full-vocabulary variant is
+    the same plan minus the filter, partitioned by term prefix."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+        ).alias("pos", "t0"),
+    ).select("doc_id", "pos", F.lower(F.col("t0")).alias("term"))
+    return (
+        tok.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("pos")),
+                    lambda c: c.cast("string"),
+                ),
+                ",",
+            ).alias("positions"),
+        )
+    )
+
+
+@register(
+    "proximity_pair_docs",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(
+               string_split_regex(trim(coalesce(text, '')), '\s+'),
+               (x, i) -> struct_pack(term := lower(x), pos := i - 1)
+             ) AS l
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, u.s.term AS term, u.s.pos AS pos
+      FROM toks, unnest(l) AS u(s)
+    ),
+    a AS (SELECT doc_id, pos FROM tok WHERE term = '{_BM25_TERMS[0]}'),
+    b AS (SELECT doc_id, pos FROM tok WHERE term = '{_BM25_TERMS[1]}')
+    SELECT a.doc_id, count(*) AS n_pairs
+    FROM a JOIN b ON a.doc_id = b.doc_id
+    WHERE abs(a.pos - b.pos) <= 3
+    GROUP BY a.doc_id
+    """,
+)
+def proximity_pair_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search: documents where the first two BM25 query
+    terms co-occur within 3 tokens, with the qualifying pair count —
+    the query shape the positional index exists to serve. The
+    positions join is doc_id-keyed (well-spread); the distance
+    predicate rides the equi-join."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+        ).alias("pos", "t0"),
+    ).select("doc_id", "pos", F.lower(F.col("t0")).alias("term"))
+    a = tok.filter(F.col("term") == _BM25_TERMS[0]).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = tok.filter(F.col("term") == _BM25_TERMS[1]).select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    return (
+        a.join(b, "doc_id")
+        .filter(F.abs(F.col("pa") - F.col("pb")) <= 3)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
