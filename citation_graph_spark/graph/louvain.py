@@ -59,7 +59,15 @@ def louvain_round_lineage(
     community volumes, per-(vertex, neighbor-community) edge counts,
     integer gain, per-vertex window argmax. Exposed for the
     plan-regression suite — equi-joins and grouped aggregations only,
-    never a cartesian shape."""
+    never a cartesian shape.
+
+    ``sym`` may carry a ``w`` weight column (the level-2 quotient
+    path); absent, every edge counts 1 — identical integers to the
+    original unweighted rule. ``2 * m`` must equal the TOTAL volume
+    Σ_v d(v) (for a weighted graph with self-loops pass
+    total_volume // 2)."""
+    if "w" not in sym.columns:
+        sym = sym.withColumn("w", F.lit(1).cast("long"))
     vol = (
         comm.join(deg, "vid").groupBy("community").agg(F.sum("d").alias("vol"))
     )
@@ -71,7 +79,7 @@ def louvain_round_lineage(
             "dst",
         )
         .groupBy(F.col("src").alias("vid"), "c")
-        .agg(F.count(F.lit(1)).alias("k"))
+        .agg(F.sum("w").alias("k"))
     )
     own = comm.select("vid", F.col("community").alias("own_c"))
     k_own = (
@@ -197,6 +205,84 @@ def louvain_local_moves(
                     it % checkpoint_interval == 0 or it == rounds
                 ):
                     ckpt.save(comm, it, meta={"rounds": rounds, "m": m})
+        e.unpersist()
+        sym.unpersist()
+        deg.unpersist()
+        return comm
+
+
+def louvain_local_moves_weighted(
+    wedges: DataFrame,
+    self_weights: DataFrame | None = None,
+    rounds: int = 2,
+    num_partitions: int | None = None,
+    metrics_path: str | None = None,
+) -> DataFrame:
+    """Weighted local moves — the LEVEL-2 (and deeper) step of the
+    full Louvain method: run on the community quotient where edge
+    weights are collapsed inter-community edge counts and
+    ``self_weights`` (vid, sw) carries 2× the intra-community count
+    (the standard self-loop convention, so quotient modularity equals
+    the original graph's for the induced partition). Same integer gain
+    rule as the unweighted kernel with T = Σ_v d(v) in place of 2m —
+    the self-loop weight moves with the vertex and cancels from every
+    gain comparison, so it enters degrees/volumes only.
+
+    ``wedges``: (src, dst, w) — undirected, one row per unordered pair
+    (src < dst), no self rows. Returns (vid, community)."""
+    with iterative_kernel_conf(wedges.sparkSession):
+        spark = wedges.sparkSession
+        e = (
+            wedges.select("src", "dst", F.col("w").cast("long").alias("w"))
+            .filter(F.col("src") != F.col("dst"))
+            .persist()
+        )
+        n_e = e.count()
+        if num_partitions is None:
+            num_partitions = auto_partitions(spark, n_e)
+        sym = e.unionByName(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        ).persist()
+        wdeg = sym.groupBy(F.col("src").alias("vid")).agg(
+            F.sum("w").alias("dw")
+        )
+        sw = (
+            self_weights.select(
+                "vid", F.col("sw").cast("long").alias("sw")
+            )
+            if self_weights is not None
+            else spark.createDataFrame([], "vid long, sw long")
+        )
+        deg = (
+            sw.join(wdeg, "vid", "full")
+            .select(
+                "vid",
+                (
+                    F.coalesce("dw", F.lit(0)) + F.coalesce("sw", F.lit(0))
+                ).alias("d"),
+            )
+            .repartition(num_partitions, "vid")
+            .persist()
+        )
+        total_vol = deg.agg(F.sum("d")).first()[0] or 0
+        assert total_vol % 2 == 0, "self_weights must use the 2x convention"
+        metrics = MetricsLogger(metrics_path, "louvain_weighted")
+        comm = deg.select("vid", F.col("vid").alias("community"))
+        with shuffle_partitions_conf(spark, num_partitions):
+            for it in range(1, rounds + 1):
+                t0 = time.monotonic()
+                comm = (
+                    louvain_round_lineage(sym, deg, comm, total_vol // 2)
+                    .repartition(num_partitions, "vid")
+                    .localCheckpoint(eager=True)
+                )
+                metrics.log(
+                    it,
+                    wall_s=round(time.monotonic() - t0, 4),
+                    msgs=total_vol,
+                )
         e.unpersist()
         sym.unpersist()
         deg.unpersist()

@@ -527,6 +527,145 @@ def graph_part_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
     return louvain_local_moves(edges, rounds=_LOUVAIN_ROUNDS)
 
 
+def _louvain_round_weighted_sql(i: int) -> str:
+    """One weighted local-move round over the community quotient
+    (qlab{i-1} -> qlab{i}) — sum(w) in place of count(*), total volume
+    T in place of 2m (graph/louvain.py weighted path)."""
+    p = i - 1
+    return f"""
+    qvol{i} AS MATERIALIZED (
+      SELECT l.c AS c, sum(d.d) AS vol
+      FROM qlab{p} l JOIN qdeg d ON l.vid = d.vid GROUP BY l.c),
+    qk{i} AS MATERIALIZED (
+      SELECT s.src AS vid, l.c AS c, sum(s.w) AS k
+      FROM qsymw s JOIN qlab{p} l ON s.dst = l.vid GROUP BY 1, 2),
+    qcand{i} AS MATERIALIZED (
+      SELECT k.vid AS vid, k.c AS c,
+             (SELECT t FROM qt) * (k.k - coalesce(ko.k, 0))
+               - d.d * (v.vol - vo.vol + d.d) AS score
+      FROM qk{i} k
+        JOIN qlab{p} o ON k.vid = o.vid
+        LEFT JOIN qk{i} ko ON ko.vid = k.vid AND ko.c = o.c
+        JOIN qdeg d ON d.vid = k.vid
+        JOIN qvol{i} v ON v.c = k.c
+        JOIN qvol{i} vo ON vo.c = o.c
+      WHERE k.c <> o.c
+      UNION ALL
+      SELECT vid, c, 0 FROM qlab{p}
+    ),
+    qlab{i} AS MATERIALIZED (
+      SELECT vid, c FROM (
+        SELECT vid, c,
+               row_number() OVER (PARTITION BY vid
+                                  ORDER BY score DESC, c) AS rn
+        FROM qcand{i}) WHERE rn = 1
+    )"""
+
+
+@register(
+    "graph_part_louvain_two_level",
+    oracle=f"""
+    WITH {_GRAPH_CTE},
+    deg AS (SELECT src AS vid, count(*) AS d FROM sym GROUP BY src),
+    mm AS (SELECT count(*) AS m FROM edges),
+    lab0 AS (SELECT vid, vid AS c FROM verts),
+    {_louvain_round_sql(1)},
+    {_louvain_round_sql(2)},
+    -- phase 2 of the Louvain method: contract the level-1 communities
+    -- into a WEIGHTED quotient (self-loop = 2x intra count) and run
+    -- the same integer rule with sum(w) and total volume T
+    qle AS MATERIALIZED (
+      SELECT la.c AS ca, lb.c AS cb
+      FROM edges e
+        JOIN lab{_LOUVAIN_ROUNDS} la ON la.vid = e.src
+        JOIN lab{_LOUVAIN_ROUNDS} lb ON lb.vid = e.dst),
+    qinter AS MATERIALIZED (
+      SELECT least(ca, cb) AS src, greatest(ca, cb) AS dst,
+             count(*) AS w
+      FROM qle WHERE ca <> cb GROUP BY 1, 2),
+    qintra AS MATERIALIZED (
+      SELECT ca AS vid, 2 * count(*) AS sw
+      FROM qle WHERE ca = cb GROUP BY ca),
+    qsymw AS MATERIALIZED (
+      SELECT src, dst, w FROM qinter
+      UNION ALL SELECT dst, src, w FROM qinter),
+    qdeg AS MATERIALIZED (
+      SELECT coalesce(a.vid, b.vid) AS vid,
+             coalesce(a.dw, 0) + coalesce(b.sw, 0) AS d
+      FROM (SELECT src AS vid, sum(w) AS dw FROM qsymw GROUP BY src) a
+        FULL JOIN qintra b ON a.vid = b.vid),
+    qt AS (SELECT sum(d) AS t FROM qdeg),
+    qlab0 AS (SELECT vid, vid AS c FROM qdeg),
+    {_louvain_round_weighted_sql(1)},
+    {_louvain_round_weighted_sql(2)}
+    SELECT l1.vid, q2.c AS community
+    FROM lab{_LOUVAIN_ROUNDS} l1
+      JOIN qlab2 q2 ON q2.vid = l1.c
+    """,
+)
+def graph_part_louvain_two_level(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FULL Louvain loop, one level deeper than the local-move
+    query: 2 local-move rounds from singletons, community contraction
+    into a weighted quotient (inter-community edge counts; self-loop =
+    2x intra count, so quotient modularity equals the original
+    partition's), then 2 WEIGHTED local-move rounds on the quotient
+    (graph/louvain.py ``louvain_local_moves_weighted``), labels
+    projected back to every vertex. The oracle replays both phases —
+    the unweighted chain is the louvain_move oracle verbatim, the
+    weighted chain swaps count(*) for sum(w) and 2m for T."""
+    from citation_graph_spark.graph.louvain import (
+        louvain_local_moves_weighted,
+    )
+
+    edges = part_graph_edges(spark, sf_dir).select("src", "dst")
+    lab1 = louvain_local_moves(edges, rounds=_LOUVAIN_ROUNDS)
+    lab1 = lab1.localCheckpoint(eager=True)
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+    le = (
+        e.join(
+            lab1.select(F.col("vid").alias("src"), F.col("community").alias("ca")),
+            "src",
+        )
+        .join(
+            lab1.select(F.col("vid").alias("dst"), F.col("community").alias("cb")),
+            "dst",
+        )
+    )
+    inter = (
+        le.filter(F.col("ca") != F.col("cb"))
+        .select(
+            F.least("ca", "cb").alias("src"),
+            F.greatest("ca", "cb").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    intra = (
+        le.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("vid"))
+        .agg((2 * F.count(F.lit(1))).cast("long").alias("sw"))
+    )
+    lab2 = louvain_local_moves_weighted(
+        inter, intra, rounds=_LOUVAIN_ROUNDS
+    )
+    return lab1.join(
+        lab2.select(
+            F.col("vid").alias("community"),
+            F.col("community").alias("community2"),
+        ),
+        "community",
+    ).select("vid", F.col("community2").alias("community"))
+
+
 # --------------------------------------------------------------------------
 @register(
     "corpus_rich_club",

