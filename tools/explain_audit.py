@@ -82,6 +82,9 @@ AUDIT = [
     ("edge_betweenness_final", "edge betweenness final agg: canonical edges ⨝ Brandes state ×2 + (a,b) groupBy — rounds covered by the betweenness entries"),
     ("path_parents", "shortest-path parent table: dist ⨝ sym ⨝ dist equi-joins + min-parent groupBy (BFS rounds audited separately)"),
     ("fiedler_round", "one Fiedler M·x round: state ⨝ weighted self-loop edges + vertex-keyed int64 sum"),
+    ("inverted_index_terms", "positional postings: posexplode + term filter on the generated column + (doc_id, term) groupBy"),
+    ("proximity_pair_docs", "proximity search: doc_id-keyed positions self-join, distance predicate rides the equi-join"),
+    ("graph_part_coarsen", "matching contraction: supervertex map joins + quotient-pair groupBy (matching rounds audited separately)"),
 ]
 
 
