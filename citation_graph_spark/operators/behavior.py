@@ -172,3 +172,38 @@ def event_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+@register(
+    "event_view_purchase_attr",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, ts AS view_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id, view_id, purchase_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+    FROM v JOIN p ON v.user_id = p.user_id
+      AND purchase_ts >= view_ts
+      AND purchase_ts <= view_ts + INTERVAL 1 HOUR
+    """,
+)
+def event_view_purchase_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution join, batch form: purchases matched to the same
+    user's views in the preceding hour — the SAME plan
+    ``streaming/events.py view_purchase_attribution`` runs as a
+    watermarked stream-stream join (tests prove streamed == batch).
+    The range predicate rides the user_id equi-join; at stream scale
+    the watermark + horizon bound the join state."""
+    from citation_graph_spark.streaming import view_purchase_attribution
+
+    e = load_tables(spark, sf_dir)["events"]
+    return view_purchase_attribution(
+        e.filter(F.col("event_type") == "view"),
+        e.filter(F.col("event_type") == "purchase"),
+    )

@@ -3,6 +3,8 @@ from citation_graph_spark.streaming.events import (
     sliding_event_rates,
     stream_event_counts,
     stream_event_rates_sliding,
+    stream_view_purchase_attribution,
+    view_purchase_attribution,
     windowed_event_stats,
 )
 from citation_graph_spark.streaming.incremental import (
@@ -16,6 +18,8 @@ __all__ = [
     "sliding_event_rates",
     "stream_event_counts",
     "stream_event_rates_sliding",
+    "stream_view_purchase_attribution",
+    "view_purchase_attribution",
     "windowed_event_stats",
     "ingest_reference_stream",
     "refresh_pagerank",

@@ -218,3 +218,83 @@ def stream_dedup_events(
     )
     q.awaitTermination()
     return spark.table("events_deduped")
+
+
+def view_purchase_attribution(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join — the attribution query:
+    each purchase matched to the same user's views in the preceding
+    ``horizon``. The event-time range condition is what lets the
+    engine evict join state (a view older than watermark + horizon can
+    never match again); without it a stream-stream join's state grows
+    unboundedly. Inner-join results emit as soon as both sides arrive,
+    so an availableNow run equals the identical batch join exactly.
+
+    Works identically on batch inputs (same plan, no watermark
+    needed) — the tests run it both ways on the same rows."""
+    v = (
+        views.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    p = (
+        purchases.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.floor(F.col("purchase_value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("value_cents"),
+    )
+
+
+def stream_view_purchase_attribution(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """availableNow run of the stream-stream attribution join over the
+    event feed in ``source_dir`` (views and purchases read as two
+    streams from the same source), append mode, memory sink."""
+    ev = read_event_stream(spark, source_dir)
+    out = view_purchase_attribution(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("view_purchase_attr")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("view_purchase_attr")

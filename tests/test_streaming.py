@@ -154,3 +154,31 @@ def test_sliding_windows_match_batch_and_multiplicity(spark, stream_dirs):
     rows = streamed.collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, batch))
     assert sum(r["n_events"] for r in rows) == 4 * events.count()
+
+
+def test_stream_stream_attribution_matches_batch(spark, stream_dirs):
+    """Watermarked stream-stream inner join == the identical batch
+    join on the same rows (inner results emit eagerly; the watermark
+    only bounds state)."""
+    from citation_graph_spark.streaming import (
+        stream_view_purchase_attribution,
+        view_purchase_attribution,
+    )
+
+    src_dir, ckpt_dir = stream_dirs
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    target = os.path.join(src_dir, "stream")
+    for part in (0, 1, 2):
+        events.filter(F.col("event_id") % 3 == part).write.mode(
+            "append"
+        ).parquet(target)
+
+    streamed = stream_view_purchase_attribution(spark, target, ckpt_dir)
+    batch = view_purchase_attribution(
+        events.filter(F.col("event_type") == "view"),
+        events.filter(F.col("event_type") == "purchase"),
+    ).collect()
+    assert len(batch) > 0  # the fixture genuinely exercises the join
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch)
+    )
