@@ -3,6 +3,7 @@ from citation_graph_spark.streaming.events import (
     sliding_event_rates,
     stream_event_counts,
     stream_event_rates_sliding,
+    stream_events_exactly_once,
     stream_view_purchase_attribution,
     view_purchase_attribution,
     windowed_event_stats,
@@ -18,6 +19,7 @@ __all__ = [
     "sliding_event_rates",
     "stream_event_counts",
     "stream_event_rates_sliding",
+    "stream_events_exactly_once",
     "stream_view_purchase_attribution",
     "view_purchase_attribution",
     "windowed_event_stats",

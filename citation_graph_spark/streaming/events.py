@@ -298,3 +298,34 @@ def stream_view_purchase_attribution(
     )
     q.awaitTermination()
     return spark.table("view_purchase_attr")
+
+
+def stream_events_exactly_once(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_path: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """foreachBatch sink with exactly-once delivery over plain
+    parquet: every micro-batch lands in its own deterministic
+    ``batch_id=<id>`` directory with mode=overwrite, so a batch
+    REPLAYED after a crash (Structured Streaming's at-least-once
+    foreachBatch contract) rewrites its own directory instead of
+    duplicating rows — idempotence is the sink's, not the engine's.
+    The same recipe with an Iceberg/Delta table is a MERGE keyed on
+    batch id; this is the dependency-free form, and the read side is
+    just ``spark.read.parquet(out_path)`` (batch_id is a partition
+    column, pruned like any other)."""
+    ev = read_event_stream(spark, source_dir, max_files_per_trigger)
+
+    def sink(bdf: DataFrame, bid: int) -> None:
+        bdf.write.mode("overwrite").parquet(f"{out_path}/batch_id={bid}")
+
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -182,3 +182,39 @@ def test_stream_stream_attribution_matches_batch(spark, stream_dirs):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch)
     )
+
+
+def test_foreachbatch_sink_exactly_once(spark, stream_dirs, tmp_path):
+    """The foreachBatch parquet sink delivers every source row exactly
+    once across multi-batch runs, incremental restarts, AND a full
+    replay after the checkpoint is lost (each batch overwrites its own
+    batch_id directory — the idempotent-sink half of exactly-once)."""
+    import shutil as _sh
+
+    from citation_graph_spark.streaming import stream_events_exactly_once
+
+    src_dir, ckpt_dir = stream_dirs
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    target = os.path.join(src_dir, "stream")
+    out = str(tmp_path / "out")
+    for part in (0, 1):
+        events.filter(F.col("event_id") % 3 == part).write.mode(
+            "append"
+        ).parquet(target)
+    # multi-batch first run (1 file per trigger)
+    stream_events_exactly_once(spark, target, ckpt_dir, out, 1)
+    n01 = events.filter(F.col("event_id") % 3 != 2).count()
+    assert spark.read.parquet(out).count() == n01
+    # incremental restart: only the new chunk lands
+    events.filter(F.col("event_id") % 3 == 2).write.mode("append").parquet(
+        target
+    )
+    stream_events_exactly_once(spark, target, ckpt_dir, out, 1)
+    assert spark.read.parquet(out).count() == events.count()
+    # checkpoint lost → full replay → batch ids restart at 0 and
+    # overwrite their own directories: still exactly once
+    _sh.rmtree(ckpt_dir)
+    stream_events_exactly_once(spark, target, ckpt_dir, out, 1)
+    got = spark.read.parquet(out)
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
