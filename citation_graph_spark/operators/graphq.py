@@ -2130,29 +2130,9 @@ _REFINE_ROUNDS = 5
 _REFINE_P = 8589934592  # 2^33 — (gain, smaller-vid) priority encoding
 
 
-@register(
-    "graph_part_partition_refine",
-    oracle=f"""
-    WITH RECURSIVE {_GRAPH_CTE},
-    {_MULTILEVEL_CORE},
-    proj AS MATERIALIZED (
-      SELECT sv.vid, CAST(f.x > 0 AS INT) AS side
-      FROM svmap sv
-        JOIN qfied f ON f.v = sv.sv AND f.it = {_FIEDLER_ITERS}
-    ),
-    rsym AS MATERIALIZED (
-      SELECT s.src, s.dst FROM sym s JOIN proj p ON s.src = p.vid
-    ),
-    rsymx AS MATERIALIZED (
-      SELECT src, dst, false AS is_self FROM rsym
-      UNION ALL
-      SELECT vid, vid, true FROM proj
-    ),
-    -- two recursive steps per refinement round: even→odd computes
-    -- gains (side carried by self-message), odd→even applies the
-    -- independent-set flips (positive gain, beats every positive-gain
-    -- neighbor on the (gain, smaller-vid) priority)
-    refz(it, v, side, gain) AS (
+# the two-phase refinement recursion body (shared by the refine query
+# and the quality rollup)
+_REFZ_BODY = f"""
       SELECT 0, vid, side, CAST(0 AS BIGINT) FROM proj
       UNION ALL
       SELECT r.it + 1, m.dst,
@@ -2180,8 +2160,34 @@ _REFINE_P = 8589934592  # 2^33 — (gain, smaller-vid) priority encoding
         ELSE CAST(0 AS BIGINT) END
       FROM refz r JOIN rsymx m ON r.v = m.src
       WHERE r.it < {2 * _REFINE_ROUNDS}
-      GROUP BY r.it, m.dst
-    )
+      GROUP BY r.it, m.dst"""
+
+
+
+
+@register(
+    "graph_part_partition_refine",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    {_MULTILEVEL_CORE},
+    proj AS MATERIALIZED (
+      SELECT sv.vid, CAST(f.x > 0 AS INT) AS side
+      FROM svmap sv
+        JOIN qfied f ON f.v = sv.sv AND f.it = {_FIEDLER_ITERS}
+    ),
+    rsym AS MATERIALIZED (
+      SELECT s.src, s.dst FROM sym s JOIN proj p ON s.src = p.vid
+    ),
+    rsymx AS MATERIALIZED (
+      SELECT src, dst, false AS is_self FROM rsym
+      UNION ALL
+      SELECT vid, vid, true FROM proj
+    ),
+    -- two recursive steps per refinement round: even→odd computes
+    -- gains (side carried by self-message), odd→even applies the
+    -- independent-set flips (positive gain, beats every positive-gain
+    -- neighbor on the (gain, smaller-vid) priority)
+    refz(it, v, side, gain) AS ({_REFZ_BODY})
     SELECT v AS vid, side FROM refz WHERE it = {2 * _REFINE_ROUNDS}
     """,
 )
@@ -2204,6 +2210,75 @@ def graph_part_partition_refine(
         sides.select(F.col("vid").alias("src")), "src", "left_semi"
     )
     return refine_bisection(comp_edges, sides, rounds=_REFINE_ROUNDS)
+
+
+@register(
+    "graph_part_partition_quality",
+    oracle=f"""
+    WITH RECURSIVE {_GRAPH_CTE},
+    {_MULTILEVEL_CORE},
+    proj AS MATERIALIZED (
+      SELECT sv.vid, CAST(f.x > 0 AS INT) AS side
+      FROM svmap sv
+        JOIN qfied f ON f.v = sv.sv AND f.it = {_FIEDLER_ITERS}
+    ),
+    rsym AS MATERIALIZED (
+      SELECT s.src, s.dst FROM sym s JOIN proj p ON s.src = p.vid
+    ),
+    rsymx AS MATERIALIZED (
+      SELECT src, dst, false AS is_self FROM rsym
+      UNION ALL
+      SELECT vid, vid, true FROM proj
+    ),
+    refz(it, v, side, gain) AS ({_REFZ_BODY}),
+    fin AS MATERIALIZED (
+      SELECT v AS vid, side FROM refz WHERE it = {2 * _REFINE_ROUNDS}
+    ),
+    cut AS (
+      SELECT count(*) AS cut_edges
+      FROM edges e
+        JOIN fin a ON a.vid = e.src
+        JOIN fin b ON b.vid = e.dst
+      WHERE a.side <> b.side
+    )
+    SELECT (SELECT count(*) FROM fin WHERE side = 0) AS n_side0,
+           (SELECT count(*) FROM fin WHERE side = 1) AS n_side1,
+           (SELECT cut_edges FROM cut) AS cut_edges,
+           (SELECT 1000 * least(
+              (SELECT count(*) FROM fin WHERE side = 0),
+              (SELECT count(*) FROM fin WHERE side = 1))
+            // greatest(
+              (SELECT count(*) FROM fin WHERE side = 0),
+              (SELECT count(*) FROM fin WHERE side = 1), 1))
+           AS balance_milli
+    """,
+)
+def graph_part_partition_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-row quality report for the refined multilevel partition:
+    side sizes, cut-edge count, and the balance ratio
+    1000·min/max (milli) — the numbers a partitioner is judged by,
+    emitted by the engine itself and replayed by the oracle off the
+    same chained state."""
+    sides = graph_part_partition_refine(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    edges = part_graph_edges(spark, sf_dir).select("src", "dst")
+    a = sides.select(F.col("vid").alias("src"), F.col("side").alias("sa"))
+    b = sides.select(F.col("vid").alias("dst"), F.col("side").alias("sb"))
+    cut = (
+        edges.join(a, "src").join(b, "dst")
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    n0 = sides.filter(F.col("side") == 0).count()
+    n1 = sides.filter(F.col("side") == 1).count()
+    bal = (1000 * min(n0, n1)) // max(n0, n1, 1)
+    return spark.createDataFrame(
+        [(n0, n1, cut, bal)],
+        "n_side0 long, n_side1 long, cut_edges long, balance_milli long",
+    )
 
 
 # --------------------------------------------------------------------------
