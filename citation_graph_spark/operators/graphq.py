@@ -30,7 +30,7 @@ triangles are exact integer results.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from citation_graph_spark.fixtures.corpus import (
@@ -1343,6 +1343,57 @@ def corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("score") * 1000000000 + F.lit(0.5))
         .cast("long")
         .alias("score_nano"),
+    )
+
+
+@register(
+    "corpus_repo_graph",
+    oracle=f"""
+    WITH {_CORPUS_CTE},
+    r AS (
+      SELECT sv.repo AS src_repo, tv.repo AS dst_repo,
+             CAST(sum(e.weight) AS BIGINT) AS weight
+      FROM cedges e
+        JOIN verts sv ON sv.vid = e.src
+        JOIN verts tv ON tv.vid = e.dst
+      WHERE sv.repo <> tv.repo
+      GROUP BY 1, 2
+    )
+    SELECT src_repo, dst_repo, weight,
+           1000 * weight // sum(weight) OVER (PARTITION BY src_repo)
+             AS share_milli
+    FROM r
+    """,
+)
+def corpus_repo_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repository-level dependency graph: the citation edge table
+    contracted by repo (cross-repo reference multiplicities summed;
+    intra-repo references dropped), each edge annotated with its milli
+    share of the source repo's outbound references — the
+    "which repos does repo X actually depend on, and how much"
+    serving table for the north rule's source-repo corpus. Quotient
+    groupBy keyed on the repo pair; the per-source share is one
+    window over the (small) quotient."""
+    vertices, edges = corpus_tables(spark)
+    sv = vertices.select(F.col("vid").alias("src"), F.col("repo").alias("src_repo"))
+    tv = vertices.select(F.col("vid").alias("dst"), F.col("repo").alias("dst_repo"))
+    r = (
+        edges.join(sv, "src")
+        .join(tv, "dst")
+        .filter(F.col("src_repo") != F.col("dst_repo"))
+        .groupBy("src_repo", "dst_repo")
+        .agg(F.sum("weight").cast("long").alias("weight"))
+    )
+    w = Window.partitionBy("src_repo")
+    return (
+        r.withColumn("_total", F.sum("weight").over(w))
+        .withColumn(
+            # exact integer division — a double quotient cast to long
+            # can round up across the floor boundary
+            "share_milli",
+            F.expr("div(1000 * weight, _total)").cast("long"),
+        )
+        .drop("_total")
     )
 
 
