@@ -1398,6 +1398,104 @@ def corpus_repo_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_repo_pagerank",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_CTE},
+    rverts AS (
+      SELECT row_number() OVER (ORDER BY repo) - 1 AS vid, repo
+      FROM (SELECT DISTINCT repo FROM verts)
+    ),
+    rq AS (
+      SELECT sr.vid AS src, tr.vid AS dst,
+             CAST(sum(e.weight) AS DOUBLE) AS weight
+      FROM cedges e
+        JOIN verts sv ON sv.vid = e.src
+        JOIN verts tv ON tv.vid = e.dst
+        JOIN rverts sr ON sr.repo = sv.repo
+        JOIN rverts tr ON tr.repo = tv.repo
+      WHERE sv.repo <> tv.repo
+      GROUP BY 1, 2
+    ),
+    en AS (SELECT src, dst,
+                  weight / sum(weight) OVER (PARTITION BY src) AS wnorm
+           FROM rq),
+    en2 AS (SELECT src, dst, wnorm FROM en
+            UNION ALL SELECT vid, vid, 0.0 FROM rverts),
+    vflag AS (SELECT v.vid, v.vid NOT IN (SELECT src FROM rq) AS dang
+              FROM rverts v),
+    nv AS (SELECT count(*) AS n FROM rverts),
+    pr(it, v, r, l1, dm) AS (
+      SELECT 0, vid, 1.0 / (SELECT n FROM nv), 1e18,
+             (SELECT count(*) FROM vflag WHERE dang)
+               / CAST((SELECT n FROM nv) AS DOUBLE)
+      FROM rverts
+      UNION ALL
+      SELECT x.it, x.v, x.r,
+             sum(abs(x.r - x.r_prev)) OVER () AS l1,
+             sum(CASE WHEN f.dang THEN x.r ELSE 0 END) OVER () AS dm
+      FROM (
+        SELECT p.it + 1 AS it, e.dst AS v,
+               (1.0 - 0.85) / (SELECT n FROM nv)
+                 + 0.85 * (sum(p.r * e.wnorm)
+                           + max(p.dm) / (SELECT n FROM nv)) AS r,
+               max(CASE WHEN e.src = e.dst THEN p.r END) AS r_prev
+        FROM pr p JOIN en2 e ON p.v = e.src
+        WHERE p.l1 >= 0.000001 AND p.it < 200
+        GROUP BY 1, 2
+      ) x JOIN vflag f ON x.v = f.vid
+    )
+    SELECT rv.repo,
+           cast(floor(pr.r * 1000000000 + 0.5) AS BIGINT) AS score_nano
+    FROM pr JOIN rverts rv ON rv.vid = pr.v
+    WHERE it = (SELECT max(it) FROM pr)
+    """,
+)
+def corpus_repo_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank on the repository-level dependency quotient
+    (corpus_repo_graph's edge table): which REPOS hold the citation
+    mass once file-level structure is contracted away — the repo
+    ranking a monorepo/archive analytics surface serves. Same engine
+    kernel, same 1e-6 l1 stopping rule, same oracle recursion as
+    corpus_pagerank, over the quotient; dense repo ids are the
+    alphabetical row_number on both engines."""
+    vertices, edges = corpus_tables(spark)
+    sv = vertices.select(F.col("vid").alias("src"), F.col("repo").alias("src_repo"))
+    tv = vertices.select(F.col("vid").alias("dst"), F.col("repo").alias("dst_repo"))
+    repos = (
+        vertices.select("repo")
+        .distinct()
+        .withColumn(
+            "rid",
+            F.row_number().over(Window.orderBy("repo")) - 1,
+        )
+    ).localCheckpoint(eager=True)
+    rq = (
+        edges.join(sv, "src")
+        .join(tv, "dst")
+        .filter(F.col("src_repo") != F.col("dst_repo"))
+        .join(
+            repos.select(F.col("repo").alias("src_repo"), F.col("rid").alias("qsrc")),
+            "src_repo",
+        )
+        .join(
+            repos.select(F.col("repo").alias("dst_repo"), F.col("rid").alias("qdst")),
+            "dst_repo",
+        )
+        .groupBy(F.col("qsrc").alias("src"), F.col("qdst").alias("dst"))
+        .agg(F.sum("weight").cast("double").alias("weight"))
+    )
+    ranks = pagerank(rq, vertices=repos.select(F.col("rid").alias("vid")), tol=1e-6)
+    return ranks.join(
+        repos.select(F.col("rid").alias("vid"), "repo"), "vid"
+    ).select(
+        "repo",
+        F.floor(F.col("score") * 1000000000 + F.lit(0.5))
+        .cast("long")
+        .alias("score_nano"),
+    )
+
+
+@register(
     "corpus_components",
     oracle=f"""
     WITH RECURSIVE {_CORPUS_CTE},
