@@ -1496,6 +1496,96 @@ def corpus_repo_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_repo_profile",
+    oracle=f"""
+    WITH {_CORPUS_CTE},
+    vrepo AS (SELECT vid, repo FROM verts),
+    outs AS (
+      SELECT sv.repo, CAST(sum(e.weight) AS BIGINT) AS out_refs,
+             CAST(sum(CASE WHEN sv.repo = tv.repo
+                           THEN e.weight ELSE 0 END) AS BIGINT)
+               AS intra_refs
+      FROM cedges e
+        JOIN vrepo sv ON sv.vid = e.src
+        JOIN vrepo tv ON tv.vid = e.dst
+      GROUP BY sv.repo
+    ),
+    ins AS (
+      SELECT tv.repo, CAST(sum(e.weight) AS BIGINT) AS in_refs
+      FROM cedges e
+        JOIN vrepo sv ON sv.vid = e.src
+        JOIN vrepo tv ON tv.vid = e.dst
+      WHERE sv.repo <> tv.repo
+      GROUP BY tv.repo
+    ),
+    files AS (
+      SELECT repo, count(*) AS n_files,
+             count(DISTINCT d.lang) AS n_langs
+      FROM docs d GROUP BY repo
+    )
+    SELECT f.repo, f.n_files, f.n_langs,
+           coalesce(o.out_refs, 0) AS out_refs,
+           coalesce(o.intra_refs, 0) AS intra_refs,
+           coalesce(i.in_refs, 0) AS in_refs,
+           CASE WHEN coalesce(o.out_refs, 0) > 0
+                THEN 1000 * o.intra_refs // o.out_refs
+                ELSE 0 END AS intra_share_milli
+    FROM files f
+      LEFT JOIN outs o ON o.repo = f.repo
+      LEFT JOIN ins i ON i.repo = f.repo
+    """,
+)
+def corpus_repo_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-repository profile panel: file and language counts,
+    outbound/inbound reference mass, and the milli share of
+    references that stay inside the repo (the cohesion number a
+    monorepo-split analysis starts from). Joins are vid-keyed against
+    the extracted edge table; the rollup key is the (small) repo
+    dimension."""
+    vertices, edges = corpus_tables(spark)
+    vrepo_s = vertices.select(F.col("vid").alias("src"), F.col("repo").alias("src_repo"))
+    vrepo_t = vertices.select(F.col("vid").alias("dst"), F.col("repo").alias("dst_repo"))
+    both = edges.join(vrepo_s, "src").join(vrepo_t, "dst")
+    outs = both.groupBy(F.col("src_repo").alias("repo")).agg(
+        F.sum("weight").cast("long").alias("out_refs"),
+        F.sum(
+            F.when(F.col("src_repo") == F.col("dst_repo"), F.col("weight"))
+            .otherwise(F.lit(0.0))
+        )
+        .cast("long")
+        .alias("intra_refs"),
+    )
+    ins = (
+        both.filter(F.col("src_repo") != F.col("dst_repo"))
+        .groupBy(F.col("dst_repo").alias("repo"))
+        .agg(F.sum("weight").cast("long").alias("in_refs"))
+    )
+    files = vertices.groupBy("repo").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    return (
+        files.join(outs, "repo", "left")
+        .join(ins, "repo", "left")
+        .select(
+            "repo",
+            "n_files",
+            "n_langs",
+            F.coalesce("out_refs", F.lit(0)).cast("long").alias("out_refs"),
+            F.coalesce("intra_refs", F.lit(0)).cast("long").alias("intra_refs"),
+            F.coalesce("in_refs", F.lit(0)).cast("long").alias("in_refs"),
+            F.when(
+                F.coalesce("out_refs", F.lit(0)) > 0,
+                F.expr("div(1000 * intra_refs, out_refs)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("intra_share_milli"),
+        )
+    )
+
+
+@register(
     "corpus_components",
     oracle=f"""
     WITH RECURSIVE {_CORPUS_CTE},
