@@ -1586,6 +1586,80 @@ def corpus_repo_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_repo_scc",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_CTE},
+    rverts AS (
+      SELECT row_number() OVER (ORDER BY repo) - 1 AS vid, repo
+      FROM (SELECT DISTINCT repo FROM verts)
+    ),
+    rq AS (
+      SELECT DISTINCT sr.vid AS src, tr.vid AS dst
+      FROM cedges e
+        JOIN verts sv ON sv.vid = e.src
+        JOIN verts tv ON tv.vid = e.dst
+        JOIN rverts sr ON sr.repo = sv.repo
+        JOIN rverts tr ON tr.repo = tv.repo
+      WHERE sv.repo <> tv.repo
+    ),
+    reach(v, w) AS (
+      SELECT src, dst FROM rq
+      UNION
+      SELECT r.v, e.dst FROM reach r JOIN rq e ON r.w = e.src
+    ),
+    mutual AS (
+      SELECT a.v AS v, a.w AS w
+      FROM reach a JOIN reach b ON a.v = b.w AND a.w = b.v
+    )
+    SELECT rv.repo,
+           greatest(rv.vid, coalesce(max(m.w), rv.vid)) AS scc
+    FROM rverts rv LEFT JOIN mutual m ON rv.vid = m.v
+    GROUP BY rv.repo, rv.vid
+    """,
+)
+def corpus_repo_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency CYCLES between repositories: strongly connected
+    components of the repo quotient (graph/scc.py on the contracted
+    graph) — repos sharing an scc id mutually depend on each other,
+    the first thing a build-order or layering analysis asks. Dense
+    repo ids are the alphabetical row_number on both engines; scc
+    label = max member id (the corpus_scc convention)."""
+    from citation_graph_spark.graph.scc import (
+        strongly_connected_components,
+    )
+
+    vertices, edges = corpus_tables(spark)
+    sv = vertices.select(F.col("vid").alias("src"), F.col("repo").alias("src_repo"))
+    tv = vertices.select(F.col("vid").alias("dst"), F.col("repo").alias("dst_repo"))
+    repos = (
+        vertices.select("repo")
+        .distinct()
+        .withColumn("rid", F.row_number().over(Window.orderBy("repo")) - 1)
+    ).localCheckpoint(eager=True)
+    rq = (
+        edges.join(sv, "src")
+        .join(tv, "dst")
+        .filter(F.col("src_repo") != F.col("dst_repo"))
+        .join(
+            repos.select(F.col("repo").alias("src_repo"), F.col("rid").alias("qsrc")),
+            "src_repo",
+        )
+        .join(
+            repos.select(F.col("repo").alias("dst_repo"), F.col("rid").alias("qdst")),
+            "dst_repo",
+        )
+        .select(F.col("qsrc").alias("src"), F.col("qdst").alias("dst"))
+        .distinct()
+    )
+    scc = strongly_connected_components(
+        rq, repos.select(F.col("rid").alias("vid"))
+    )
+    return scc.join(
+        repos.select(F.col("rid").alias("vid"), "repo"), "vid"
+    ).select("repo", "scc")
+
+
+@register(
     "corpus_components",
     oracle=f"""
     WITH RECURSIVE {_CORPUS_CTE},
