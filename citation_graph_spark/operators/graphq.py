@@ -546,11 +546,16 @@ def _ktruss_oracle(k: int, rounds: int) -> str:
 # (lang_stratified_sample's cross-engine md5 idiom).
 
 
-def _msf_oracle(rounds: int) -> str:
+def _msf_oracle(rounds: int, graph_cte: str | None = None) -> str:
     """Generated Borůvka-round SQL. ``rounds`` must cover
     ceil(log2(n_vertices)) at the gate scale — components at least
     halve per round, and exhausted rounds are no-ops (x{r} empty →
-    labels persist), so overshooting is safe."""
+    labels persist), so overshooting is safe. ``graph_cte`` overrides
+    the part-graph CTE with any definition of ``edges``/``verts``
+    (tests/test_msf.py pins the generator against sequential Kruskal
+    on random graphs through this hook)."""
+    if graph_cte is None:
+        graph_cte = _GRAPH_CTE
     parts = [
         "we AS MATERIALIZED (SELECT src, dst,\n"
         "  CAST('0x' || substr(md5(src::VARCHAR || '-' || dst::VARCHAR),\n"
@@ -600,7 +605,7 @@ def _msf_oracle(rounds: int) -> str:
     body = ",\n    ".join(parts)
     union = "\n      UNION ALL ".join(sels)
     return f"""
-    WITH RECURSIVE {_GRAPH_CTE.strip()},
+    WITH RECURSIVE {graph_cte.strip()},
     {body}
     SELECT DISTINCT src, dst, w FROM ({union}) forest
     """

@@ -122,3 +122,59 @@ def test_msf_empty_and_parallel_edges(spark):
 
     empty = spark.createDataFrame([], "src long, dst long, w long")
     assert boruvka_msf(empty).count() == 0
+
+
+def test_msf_oracle_generator_matches_kruskal():
+    """The generated Borůvka-round SQL (the graph_part_msf oracle) is
+    pinned against sequential Kruskal on random graphs — same md5
+    48-bit weights, same (w, src, dst) total order. DuckDB-only: this
+    guards the ORACLE side of the gate independently of Spark."""
+    import hashlib
+    import math
+    import random
+
+    import duckdb
+
+    from citation_graph_spark.operators.graphq import _msf_oracle
+
+    for seed in (1, 9, 42):
+        rng = random.Random(seed)
+        n = rng.choice([40, 150, 500])
+        eset = {}
+        for _ in range(rng.randint(n // 2, n * 3)):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a == b:
+                continue
+            a, b = min(a, b), max(a, b)
+            w = int(hashlib.md5(f"{a}-{b}".encode()).hexdigest()[:12], 16)
+            eset[(a, b)] = w
+        con = duckdb.connect()
+        con.execute("CREATE TABLE rawe(src BIGINT, dst BIGINT)")
+        con.executemany(
+            "INSERT INTO rawe VALUES (?, ?)", sorted(eset)
+        )
+        cte = (
+            "edges AS (SELECT src, dst FROM rawe),\n"
+            "verts AS (SELECT DISTINCT src AS vid FROM "
+            "(SELECT src FROM rawe UNION ALL SELECT dst FROM rawe))"
+        )
+        rounds = max(2, math.ceil(math.log2(n)) + 1)
+        got = sorted(
+            tuple(r) for r in con.execute(_msf_oracle(rounds, cte)).fetchall()
+        )
+        # sequential Kruskal with union-find, identical total order
+        par = list(range(n))
+
+        def find(x):
+            while par[x] != x:
+                par[x] = par[par[x]]
+                x = par[x]
+            return x
+
+        want = []
+        for w, a, b in sorted((w, a, b) for (a, b), w in eset.items()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                par[ra] = rb
+                want.append((a, b, w))
+        assert got == sorted(want), f"seed {seed}"
