@@ -1665,6 +1665,132 @@ def corpus_repo_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_repo_generations",
+    oracle=f"""
+    WITH RECURSIVE {_CORPUS_CTE},
+    rverts AS (
+      SELECT row_number() OVER (ORDER BY repo) - 1 AS vid, repo
+      FROM (SELECT DISTINCT repo FROM verts)
+    ),
+    rq0 AS (
+      SELECT DISTINCT sr.vid AS src, tr.vid AS dst
+      FROM cedges e
+        JOIN verts sv ON sv.vid = e.src
+        JOIN verts tv ON tv.vid = e.dst
+        JOIN rverts sr ON sr.repo = sv.repo
+        JOIN rverts tr ON tr.repo = tv.repo
+      WHERE sv.repo <> tv.repo
+    ),
+    rreach(v, w) AS (
+      SELECT src, dst FROM rq0
+      UNION
+      SELECT r.v, e.dst FROM rreach r JOIN rq0 e ON r.w = e.src
+    ),
+    rmutual AS (
+      SELECT a.v AS v, a.w AS w
+      FROM rreach a JOIN rreach b ON a.v = b.w AND a.w = b.v
+    ),
+    rsccm AS (
+      SELECT rv.vid, greatest(rv.vid, coalesce(max(m.w), rv.vid)) AS scc
+      FROM rverts rv LEFT JOIN rmutual m ON rv.vid = m.v
+      GROUP BY rv.vid
+    ),
+    rcq AS (SELECT DISTINCT s1.scc AS csrc, s2.scc AS cdst
+            FROM rq0 e JOIN rsccm s1 ON e.src = s1.vid
+                       JOIN rsccm s2 ON e.dst = s2.vid
+            WHERE s1.scc <> s2.scc),
+    rcomps AS (SELECT DISTINCT scc AS c FROM rsccm),
+    rg(c, d) AS (
+      SELECT c, 0 FROM rcomps WHERE c NOT IN (SELECT cdst FROM rcq)
+      UNION
+      SELECT q.cdst, rg.d + 1 FROM rg JOIN rcq q ON rg.c = q.csrc
+    ),
+    rcg AS (SELECT c, max(d) AS generation FROM rg GROUP BY c)
+    SELECT rv.repo, rcg.generation
+    FROM rsccm s
+      JOIN rverts rv ON rv.vid = s.vid
+      JOIN rcg ON s.scc = rcg.c
+    """,
+)
+def corpus_repo_generations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repository dependency layering: longest-path generations of the
+    repo quotient's SCC condensation — layer 0 repos reference no
+    other layer's repos (transitively), layer g references at least
+    one repo at g−1; mutually-dependent repos (one SCC) share a
+    layer. The corpus_generations composition (SCC kernel →
+    condensation → monotone max-relaxation) run on the contracted
+    graph — the build-order / layering view of the archive."""
+    vertices, edges = corpus_tables(spark)
+    sv = vertices.select(F.col("vid").alias("src"), F.col("repo").alias("src_repo"))
+    tv = vertices.select(F.col("vid").alias("dst"), F.col("repo").alias("dst_repo"))
+    repos = (
+        vertices.select("repo")
+        .distinct()
+        .withColumn("rid", F.row_number().over(Window.orderBy("repo")) - 1)
+    ).localCheckpoint(eager=True)
+    rq = (
+        edges.join(sv, "src")
+        .join(tv, "dst")
+        .filter(F.col("src_repo") != F.col("dst_repo"))
+        .join(
+            repos.select(F.col("repo").alias("src_repo"), F.col("rid").alias("qsrc")),
+            "src_repo",
+        )
+        .join(
+            repos.select(F.col("repo").alias("dst_repo"), F.col("rid").alias("qdst")),
+            "dst_repo",
+        )
+        .select(F.col("qsrc").alias("src"), F.col("qdst").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    from citation_graph_spark.graph.scc import strongly_connected_components
+    from citation_graph_spark.operators.topology import (
+        generation_relax_lineage,
+    )
+
+    scc = strongly_connected_components(
+        rq, repos.select(F.col("rid").alias("vid"))
+    )
+    q = (
+        rq.join(
+            scc.select(F.col("vid").alias("src"), F.col("scc").alias("csrc")),
+            "src",
+        )
+        .join(
+            scc.select(F.col("vid").alias("dst"), F.col("scc").alias("cdst")),
+            "dst",
+        )
+        .filter(F.col("csrc") != F.col("cdst"))
+        .select("csrc", "cdst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    gen = (
+        scc.select(F.col("scc").alias("c"))
+        .distinct()
+        .withColumn("generation", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(10_000):
+        new = generation_relax_lineage(q, gen).localCheckpoint(eager=True)
+        changed = not (
+            new.alias("n")
+            .join(gen.alias("o"), "c")
+            .filter(F.col("n.generation") != F.col("o.generation"))
+            .isEmpty()
+        )
+        gen = new
+        if not changed:
+            break
+    return (
+        scc.join(gen, scc["scc"] == gen["c"])
+        .join(repos.select(F.col("rid").alias("vid"), "repo"), "vid")
+        .select("repo", "generation")
+    )
+
+
+@register(
     "corpus_components",
     oracle=f"""
     WITH RECURSIVE {_CORPUS_CTE},
