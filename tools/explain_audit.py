@@ -85,6 +85,9 @@ AUDIT = [
     ("inverted_index_terms", "positional postings: posexplode + term filter on the generated column + (doc_id, term) groupBy"),
     ("proximity_pair_docs", "proximity search: doc_id-keyed positions self-join, distance predicate rides the equi-join"),
     ("graph_part_coarsen", "matching contraction: supervertex map joins + quotient-pair groupBy (matching rounds audited separately)"),
+    ("corpus_repo_graph", "repo dependency quotient: vid-keyed vertex joins + repo-pair groupBy + per-source share window"),
+    ("corpus_repo_profile", "per-repo cohesion panel: vid-keyed joins + repo rollups + left-join merge"),
+    ("event_view_purchase_attr", "attribution join: user-keyed equi-join, event-time range rides the key"),
 ]
 
 
