@@ -785,3 +785,11 @@ def test_fiedler_round_bounded_exchanges(spark):
         s = plan_stats(fiedler_round_lineage(syms, x))
     assert s["cartesian"] == 0
     assert s["exchanges"] <= 6  # the ev_round ceiling: join + agg keys
+
+
+def test_repo_quotient_no_cartesian(spark):
+    """The repo dependency quotient must stay vid-keyed: two vertex
+    joins + a repo-pair groupBy + one share window — no cartesian."""
+    with static_plans(spark):
+        s = plan_stats(operators.QUERIES["corpus_repo_graph"](spark, SF_DIR))
+    assert s["cartesian"] == 0
