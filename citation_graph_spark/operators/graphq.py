@@ -1791,6 +1791,59 @@ def corpus_repo_generations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_repo_reciprocity",
+    oracle=f"""
+    WITH {_CORPUS_CTE},
+    rq AS (
+      SELECT DISTINCT sv.repo AS a, tv.repo AS b
+      FROM cedges e
+        JOIN verts sv ON sv.vid = e.src
+        JOIN verts tv ON tv.vid = e.dst
+      WHERE sv.repo <> tv.repo
+    ),
+    m AS (
+      SELECT count(*) AS n_pairs,
+             sum(CASE WHEN EXISTS (
+                   SELECT 1 FROM rq r2
+                   WHERE r2.a = rq.b AND r2.b = rq.a)
+                 THEN 1 ELSE 0 END) AS n_mutual
+      FROM rq
+    )
+    SELECT n_pairs, n_mutual,
+           CASE WHEN n_pairs > 0
+                THEN 1000 * n_mutual // n_pairs ELSE 0 END
+             AS reciprocity_milli
+    FROM m
+    """,
+)
+def corpus_repo_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-dependency rate between repositories: of the ordered
+    cross-repo dependency pairs, the milli fraction whose reverse pair
+    also exists — the repo-granularity dual of corpus_reciprocity, and
+    the one-number summary behind corpus_repo_scc's cycle report
+    (reciprocated pairs are exactly the 2-cycles). Self-join on the
+    (small) quotient pair set."""
+    vertices, edges = corpus_tables(spark)
+    sv = vertices.select(F.col("vid").alias("src"), F.col("repo").alias("a"))
+    tv = vertices.select(F.col("vid").alias("dst"), F.col("repo").alias("b"))
+    rq = (
+        edges.join(sv, "src").join(tv, "dst")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rev = rq.select(F.col("a").alias("b"), F.col("b").alias("a"))
+    n_pairs = rq.count()
+    n_mutual = rq.join(rev, ["a", "b"], "left_semi").count()
+    milli = (1000 * n_mutual) // n_pairs if n_pairs else 0
+    return spark.createDataFrame(
+        [(n_pairs, n_mutual, milli)],
+        "n_pairs long, n_mutual long, reciprocity_milli long",
+    )
+
+
+@register(
     "corpus_components",
     oracle=f"""
     WITH RECURSIVE {_CORPUS_CTE},
