@@ -64,7 +64,7 @@ _GATE_PRIORITY = [
     "graph_part_partition_refine", "graph_part_partition_quality", "inverted_index_terms", "proximity_pair_docs",
     "graph_part_louvain_two_level", "event_view_purchase_attr", "corpus_repo_graph", "corpus_repo_pagerank", "corpus_repo_profile", "corpus_repo_scc", "corpus_repo_generations", "corpus_repo_reciprocity",
     "graph_part_multilevel_partition", "graph_part_spectral_bisect",
-    "graph_part_coarsen", "graph_part_edge_betweenness", "graph_part_msf",
+    "graph_part_coarsen", "graph_part_edge_betweenness", "graph_part_msf", "graph_part_msf_weighted",
     "bm25_search", "graph_part_path_trace",
     "graph_part_four_cliques", "span_dedup_ngram", "revenue_rollup",
     "corpus_link_predict_cn", "bipartite_butterflies",

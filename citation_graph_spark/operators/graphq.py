@@ -546,7 +546,9 @@ def _ktruss_oracle(k: int, rounds: int) -> str:
 # (lang_stratified_sample's cross-engine md5 idiom).
 
 
-def _msf_oracle(rounds: int, graph_cte: str | None = None) -> str:
+def _msf_oracle(
+    rounds: int, graph_cte: str | None = None, we_cte: str | None = None
+) -> str:
     """Generated Borůvka-round SQL. ``rounds`` must cover
     ceil(log2(n_vertices)) at the gate scale — components at least
     halve per round, and exhausted rounds are no-ops (x{r} empty →
@@ -556,10 +558,14 @@ def _msf_oracle(rounds: int, graph_cte: str | None = None) -> str:
     on random graphs through this hook)."""
     if graph_cte is None:
         graph_cte = _GRAPH_CTE
+    if we_cte is None:
+        we_cte = (
+            "we AS MATERIALIZED (SELECT src, dst,\n"
+            "  CAST('0x' || substr(md5(src::VARCHAR || '-' || dst::VARCHAR),\n"
+            "       1, 12) AS BIGINT) AS w FROM edges)"
+        )
     parts = [
-        "we AS MATERIALIZED (SELECT src, dst,\n"
-        "  CAST('0x' || substr(md5(src::VARCHAR || '-' || dst::VARCHAR),\n"
-        "       1, 12) AS BIGINT) AS w FROM edges)",
+        we_cte,
         "c0 AS MATERIALIZED (SELECT vid, vid AS comp FROM verts)",
     ]
     sels = []
@@ -641,6 +647,53 @@ def graph_part_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
             16,
             10,
         ).cast("long"),
+    )
+    return boruvka_msf(ew)
+
+
+# Real-weight variant: the minimum-cost co-order backbone. Weight =
+# NEGATED co-order multiplicity with the (w, src, dst) tie-break, so
+# the "minimum" forest keeps the STRONGEST ties per component — the
+# maximum spanning forest that sharded-similarity/backbone-extraction
+# pipelines use (one int64 negation away from the same unique-MSF
+# argument; both engines negate identically).
+_MSF_W_CTE = """we AS MATERIALIZED (
+      SELECT least(a.pk, b.pk) AS src, greatest(a.pk, b.pk) AS dst,
+             -count(*) AS w
+      FROM wb a JOIN wb b
+        ON a.okey = b.okey AND a.brand = b.brand AND a.pk < b.pk
+      GROUP BY 1, 2)"""
+
+
+@register(
+    "graph_part_msf_weighted",
+    oracle=_msf_oracle(_MSF_ROUNDS, we_cte=_MSF_W_CTE),
+)
+def graph_part_msf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-weight spanning forest of the part graph under co-order
+    multiplicity (run as a minimum forest on negated weights — the
+    kernel's (w, src, dst) total order keeps the forest unique):
+    per brand-component, the |C|−1 strongest co-order ties — the
+    backbone a similarity-graph sparsifier keeps. Returns
+    (src, dst, w) with w the negated multiplicity, matching the
+    oracle's convention exactly."""
+    from citation_graph_spark.graph.msf import boruvka_msf
+
+    t = load_tables(spark, sf_dir)
+    items = t["lineitem"].select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    wb = items.join(
+        F.broadcast(t["part"].select("p_partkey", "p_brand")),
+        F.col("pk") == F.col("p_partkey"),
+    ).select("okey", "pk", F.col("p_brand").alias("brand"))
+    a = wb.select("okey", "brand", F.col("pk").alias("src"))
+    b = wb.select("okey", "brand", F.col("pk").alias("dst"))
+    ew = (
+        a.join(b, ["okey", "brand"])
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg((-F.count(F.lit(1))).cast("long").alias("w"))
     )
     return boruvka_msf(ew)
 
