@@ -50,55 +50,78 @@ def entry(spark: SparkSession) -> DataFrame:
     return top
 
 
-# Driver-gate sampling is first-N in dict order, so front-load the
-# queries whose most recent driver-gate evidence is oldest (never-gated
-# first, then last-seen-r1 — recomputed from CORRECTNESS_r0{1,2,3} at the
-# round-4 WL-fix refresh; VERDICT r3 item 4). Queries added later fall to
-# the end of their registration order until this list is refreshed.
+# Driver-gate sampling is first-N (N=50) in dict order. Round-5 refresh
+# (VERDICT r4 "Next round" #2): the front 50 = the four round-4 hash-red
+# rows whose oracles were re-typed to BIGINT this round (must flip to
+# green), then every oracle-backed query with NO driver row in any
+# CORRECTNESS_r0{1..4}.json, then the 20 queries whose newest driver row
+# is r1 — computed mechanically from the four committed gate artifacts.
+# Rows-only (no-oracle) queries sort last so they never burn a sample
+# slot on an `err:"no_oracle"` row (VERDICT r4 "What's wrong" #4).
 _GATE_PRIORITY = [
-    # never driver-gated (computed from CORRECTNESS_r0{1,2,3} at the
-    # round-4 WL-fix refresh; the newest additions prepended since):
-    # this session's additions (partitioning pipeline, edge scores,
-    # MSF, retrieval, path trace) first, then the WL fix, the newest
-    # operators, the rest of the topology/bibliometrics/curation packs
-    "graph_part_partition_refine", "graph_part_partition_quality", "inverted_index_terms", "proximity_pair_docs",
-    "graph_part_louvain_two_level", "event_view_purchase_attr", "corpus_repo_graph", "corpus_repo_pagerank", "corpus_repo_profile", "corpus_repo_scc", "corpus_repo_generations", "corpus_repo_reciprocity",
+    "corpus_repo_graph", "corpus_repo_reciprocity", "bm25_search",
+    "graph_part_closeness", "corpus_random_walks", "corpus_assortativity",
+    "corpus_neighborhood_function", "graph_part_louvain_move",
+    "graph_part_ktruss", "graph_part_betweenness",
+    "corpus_cocitation_incremental", "corpus_scc", "corpus_cocitation",
+    "corpus_bib_coupling", "corpus_link_predict_ra",
+    "corpus_neighbor_jaccard", "corpus_katz", "corpus_h_index",
+    "corpus_self_citation", "hdbscan_embedding_ivf", "doc_repetition",
+    "benchmark_contamination", "docs_without_boilerplate",
+    "doc_split_assign", "lang_stratified_sample", "lang_id_heuristic",
+    "doc_fingerprints", "top_terms_per_lang", "token_histogram",
+    "bpe_pair_counts", "segment_union_tagged",
+    "building_without_1996_orders", "customers_ordering_and_active",
+    "order_event_totals", "latest_event_per_user_type", "order_price_bands",
+    "normalized_part_names", "customer_uid_sha", "orders_by_month_1996",
+    "docs_mentioning_spark", "top_revenue_customers", "event_sessions",
+    "brand_price_quantiles", "segments_per_nation", "knn_cosine_topk",
+    "ann_sign_lsh", "embedding_centroids", "ann_ivf", "token_counts",
+    "text_quality",
+    # ---- below the 50-sample line ----
+    "pii_redaction", "doc_chunks", "corpus_mixture", "context_packing",
+    "latest_order_per_customer", "asof_view_before_purchase",
+    "customers_without_big_orders", "brands_with_supply",
+    "nation_trade_pairs", "co_suppliers", "graph_part_degrees",
+    "graph_part_components", "graph_part_triangles", "graph_part_pagerank",
+    "graph_part_label_prop", "graph_part_bfs", "graph_part_ppr",
+    "graph_part_kcore", "graph_part_clustering_coeff",
+    "graph_part_label_prop_weighted", "graph_part_degree_histogram",
+    "graph_part_harmonic", "graph_part_sssp", "graph_part_hits",
+    "corpus_edges", "corpus_pagerank", "corpus_components",
+    "corpus_label_prop", "corpus_triangles", "graph_part_modularity",
+    "cluster_assign_seed", "cluster_calinski_harabasz",
+    "cluster_davies_bouldin", "cluster_silhouette", "dbscan_embedding",
+    "single_linkage_embedding", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_embedding_ivf", "dedup_embedding_cosine", "dedup_groups_minhash",
+    "dbscan_embedding_ivf", "single_linkage_embedding_ivf",
+    "hdbscan_embedding", "props_json_stats", "event_props_exploded",
+    "embedding_xy", "fuzzy_part_names", "multimodal_metadata",
+    "pricing_summary", "orders_per_customer_min", "nation_customer_stats",
+    "brand_top_parts", "graph_part_partition_refine",
+    "graph_part_partition_quality", "inverted_index_terms",
+    "proximity_pair_docs", "graph_part_louvain_two_level",
+    "event_view_purchase_attr", "corpus_repo_pagerank",
+    "corpus_repo_profile", "corpus_repo_scc", "corpus_repo_generations",
     "graph_part_multilevel_partition", "graph_part_spectral_bisect",
-    "graph_part_coarsen", "graph_part_edge_betweenness", "graph_part_msf", "graph_part_msf_weighted",
-    "bm25_search", "graph_part_path_trace",
+    "graph_part_coarsen", "graph_part_edge_betweenness", "graph_part_msf",
+    "graph_part_msf_weighted", "graph_part_path_trace",
     "graph_part_four_cliques", "span_dedup_ngram", "revenue_rollup",
     "corpus_link_predict_cn", "bipartite_butterflies",
     "corpus_densest_subgraph", "graph_part_mis", "graph_part_matching",
     "graph_part_vertex_cover", "dedup_sorted_neighborhood",
-    "graph_part_widest_path", "graph_part_coloring",
-    "event_funnel", "event_transitions", "event_retention_cohorts",
-    "corpus_g_index", "doc_weighted_sample", "corpus_rich_club",
-    "corpus_reciprocity",
-    "doc_bigram_typicality",
-    "bpe_learn_merges", "bpe_encode_docs", "doc_keywords_tfidf",
-    "corpus_wl_refinement", "graph_part_eigenvector", "graph_part_closeness",
-    "corpus_eigenvector",
-    "corpus_distance_distribution",
-    "corpus_neighbor_sample", "corpus_generations", "corpus_random_walks",
-    "corpus_assortativity", "corpus_neighborhood_function",
-    "corpus_hyperball", "graph_part_louvain_move", "graph_part_ktruss",
-    "graph_part_betweenness", "corpus_cocitation_incremental", "corpus_scc",
-    "corpus_cocitation", "corpus_bib_coupling", "corpus_link_predict_ra",
-    "corpus_neighbor_jaccard", "corpus_katz", "corpus_h_index",
-    "corpus_self_citation", "hdbscan_embedding_ivf", "umap_xy",
-    "doc_repetition", "benchmark_contamination", "docs_without_boilerplate",
-    "doc_split_assign", "lang_stratified_sample", "lang_id_heuristic",
-    "doc_fingerprints", "top_terms_per_lang", "token_histogram",
-    "doc_topics_lda", "doc_topics_nmf", "pii_redaction", "doc_chunks",
-    "corpus_mixture", "context_packing", "bpe_pair_counts",
-    # stalest driver rows (last seen r1) to round out the 50-sample
-    "segment_union_tagged", "building_without_1996_orders",
-    "customers_ordering_and_active", "order_event_totals",
-    "latest_event_per_user_type", "order_price_bands",
-    "normalized_part_names", "customer_uid_sha", "orders_by_month_1996",
-    "docs_mentioning_spark", "top_revenue_customers", "event_sessions",
+    "graph_part_widest_path", "graph_part_coloring", "event_funnel",
+    "event_transitions", "event_retention_cohorts", "corpus_g_index",
+    "doc_weighted_sample", "corpus_rich_club", "corpus_reciprocity",
+    "doc_bigram_typicality", "doc_keywords_tfidf", "corpus_wl_refinement",
+    "graph_part_eigenvector", "corpus_eigenvector",
+    "corpus_distance_distribution", "corpus_neighbor_sample",
+    "corpus_generations", "bpe_learn_merges", "bpe_encode_docs",
+    "corpus_hyperball", "umap_xy", "doc_topics_lda", "doc_topics_nmf",
+    "kmeans_model_selection", "kmeans_pareto_front", "pca_xy", "tsne_xy",
+    "embedding_kmeans",
 ]
-
 
 def _prioritized(d: dict) -> dict:
     head = {k: d[k] for k in _GATE_PRIORITY if k in d}

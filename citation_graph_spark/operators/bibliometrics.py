@@ -146,7 +146,7 @@ def corpus_bib_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
       HAVING count(*) >= 2
     )
-    SELECT s.a, s.b, s.cn, s.score_pico
+    SELECT s.a, s.b, s.cn, CAST(s.score_pico AS BIGINT) AS score_pico
     FROM scored s
     WHERE NOT EXISTS (
       SELECT 1 FROM csym c WHERE c.src = s.a AND c.dst = s.b
@@ -401,9 +401,10 @@ def corpus_h_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ced AS (SELECT DISTINCT src, dst FROM cedges)
     SELECT s.repo AS repo,
            count(*) AS out_edges,
-           sum(CASE WHEN s.repo = t.repo THEN 1 ELSE 0 END) AS internal,
-           (1000000 * sum(CASE WHEN s.repo = t.repo THEN 1 ELSE 0 END))
-             // count(*) AS ratio_micro
+           CAST(sum(CASE WHEN s.repo = t.repo THEN 1 ELSE 0 END)
+                AS BIGINT) AS internal,
+           CAST((1000000 * sum(CASE WHEN s.repo = t.repo THEN 1 ELSE 0 END))
+             // count(*) AS BIGINT) AS ratio_micro
     FROM ced e JOIN verts s ON e.src = s.vid
                JOIN verts t ON e.dst = t.vid
     GROUP BY 1

@@ -1051,8 +1051,9 @@ def graph_part_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE walk.d < {_HARM_ITERS}
     ),
     mind AS (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v)
-    SELECT v AS vid, count(*) AS reached, sum(d) AS sum_dist,
-           count(*) * 1000000 // sum(d) AS closeness_micro
+    SELECT v AS vid, count(*) AS reached,
+           CAST(sum(d) AS BIGINT) AS sum_dist,
+           CAST(count(*) * 1000000 // sum(d) AS BIGINT) AS closeness_micro
     FROM mind WHERE d > 0 GROUP BY v
     """,
 )
@@ -1418,8 +1419,8 @@ def corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT src_repo, dst_repo, weight,
-           1000 * weight // sum(weight) OVER (PARTITION BY src_repo)
-             AS share_milli
+           CAST(1000 * weight // sum(weight) OVER (PARTITION BY src_repo)
+                AS BIGINT) AS share_milli
     FROM r
     """,
 )
@@ -1862,10 +1863,10 @@ def corpus_repo_generations(spark: SparkSession, sf_dir: str) -> DataFrame:
                  THEN 1 ELSE 0 END) AS n_mutual
       FROM rq
     )
-    SELECT n_pairs, n_mutual,
-           CASE WHEN n_pairs > 0
+    SELECT n_pairs, CAST(n_mutual AS BIGINT) AS n_mutual,
+           CAST(CASE WHEN n_pairs > 0
                 THEN 1000 * n_mutual // n_pairs ELSE 0 END
-             AS reciprocity_milli
+                AS BIGINT) AS reciprocity_milli
     FROM m
     """,
 )

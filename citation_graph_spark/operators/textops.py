@@ -605,7 +605,7 @@ _BM25_TOPK = 20
         JOIN dl USING (doc_id)
         CROSS JOIN g
     )
-    SELECT doc_id, score_milli, rk FROM (
+    SELECT doc_id, CAST(score_milli AS BIGINT) AS score_milli, rk FROM (
       SELECT doc_id, sum(milli) AS score_milli,
              row_number() OVER (ORDER BY sum(milli) DESC, doc_id) AS rk
       FROM contrib GROUP BY doc_id

@@ -124,3 +124,31 @@ def test_corpus_csym_is_duplicate_free():
             FROM csym"""
     ).fetchone()
     assert total == distinct
+
+
+def test_no_fragile_output_types():
+    """DESCRIBE every registered oracle; forbid HUGEINT/DECIMAL outputs.
+
+    Why: DuckDB types ``//`` over a ``sum()`` as HUGEINT, and HUGEINT
+    fetches as float64 through pandas — the repo's own hasher
+    normalizes integral floats, but the round-4 driver gate's hasher
+    stringified the raw value, producing 4 hash-red rows for queries
+    that are bit-exact locally (VERDICT r4 "What's wrong" #1). Output
+    types must be environment-stable: CAST to BIGINT at the oracle's
+    final SELECT. DESCRIBE plans without executing, so the full sweep
+    is seconds.
+    """
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+    )
+    from oracle_type_sweep import sweep
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.01")
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.01 testdata not present")
+    bad, errs = sweep(sf_dir)
+    assert not errs, f"DESCRIBE failed for: {errs}"
+    assert not bad, f"environment-fragile oracle output types: {bad}"
