@@ -99,9 +99,12 @@ def fiedler_scores(
     checkpoint_interval: int = 8,
     resume: bool = False,
 ) -> DataFrame:
-    """``(vid, score_q4)`` after ``max_iter`` integer deflated power-
-    iteration rounds over the (assumed connected) undirected graph of
-    ``edges``; score_q4 ∈ [−10^4, 10^4]. The caller guarantees
+    """``(vid, score_q4, z)`` after ``max_iter`` integer deflated
+    power-iteration rounds over the (assumed connected) undirected
+    graph of ``edges``; score_q4 ∈ [−10^4, 10^4] is the min-shift
+    rescaled value (its zero sits at the z MIDRANGE), ``z`` is the
+    final round's exact-integer deflated projection n·y − Σy whose
+    sign is the classic Fiedler sign. The caller guarantees
     connectivity (see ``spectral_bisect``); on a disconnected input the
     result is still deterministic and oracle-replayable, just not a
     Fiedler vector of anything."""
@@ -147,19 +150,24 @@ def fiedler_scores(
                 saved, manifest = loaded
                 start_iter = manifest["iteration"]
                 x = (
-                    saved.select("vid", "x")
+                    saved.select("vid", "x", "z")
                     .repartition(num_partitions, "vid")
                     .localCheckpoint(eager=True)
                 )
         if x is None:
             # deterministic non-constant seed, guaranteed not the
-            # all-ones direction; magnitude already within scale
+            # all-ones direction; magnitude already within scale.
+            # z seeds as the seed value itself (no projection exists
+            # before round 1; the final z always comes from a round).
             x = (
                 deg.select(
                     "vid",
                     ((F.col("vid") % 7) - F.lit(3))
                     .cast("long")
                     .alias("x"),
+                    ((F.col("vid") % 7) - F.lit(3))
+                    .cast("long")
+                    .alias("z"),
                 )
                 .repartition(num_partitions, "vid")
                 .localCheckpoint(eager=True)
@@ -176,10 +184,19 @@ def fiedler_scores(
                 ).first()
                 s, zl, zh = int(agg["s"]), int(agg["zl"]), int(agg["zh"])
                 zmin, zmax = zl - s, zh - s
+                # z = n·y − Σy is the exact-integer deflated projection
+                # BEFORE the min-shift rescale; its sign is the classic
+                # Fiedler sign (the rescale's zero sits at the z
+                # MIDRANGE, so thresholding x>0 on a skewed score
+                # distribution is NOT the sign cut — carry z so the
+                # bisector can threshold the true zero crossing)
+                zcol = (F.lit(n) * F.col("y") - F.lit(s)).cast("long")
                 if zmax == zmin:
                     x = (
                         y.select(
-                            "vid", F.lit(0).cast("long").alias("x")
+                            "vid",
+                            F.lit(0).cast("long").alias("x"),
+                            zcol.alias("z"),
                         )
                         .repartition(num_partitions, "vid")
                         .localCheckpoint(eager=True)
@@ -198,6 +215,7 @@ def fiedler_scores(
                             )
                             .cast("long")
                             .alias("x"),
+                            zcol.alias("z"),
                         )
                         .repartition(num_partitions, "vid")
                         .localCheckpoint(eager=True)
@@ -212,7 +230,7 @@ def fiedler_scores(
                 ):
                     ckpt.save(x, it, meta={"max_iter": max_iter})
         syms.unpersist()
-        return x.select("vid", F.col("x").alias("score_q4"))
+        return x.select("vid", F.col("x").alias("score_q4"), "z")
 
 
 def spectral_bisect(
@@ -223,10 +241,13 @@ def spectral_bisect(
 ) -> DataFrame:
     """Fiedler-sign bisection of the LARGEST connected component
     (ties → smallest component label) of the undirected graph of
-    ``edges``: ``(vid, score_q4, side)`` with side = 1 where
-    score_q4 > 0 — the classic spectral split. Vertices outside the
-    chosen component emit no row (bisect them by recursing per
-    component)."""
+    ``edges``: ``(vid, score_q4, side)`` with side = 1 where the final
+    pre-rescale projection z = n·y − Σy is > 0 — the classic spectral
+    sign split, integer-exact and replayable on both engines. (The
+    rescaled score_q4's zero sits at the z midrange, so thresholding
+    it would mis-side vertices near zero whenever the score
+    distribution is skewed.) Vertices outside the chosen component
+    emit no row (bisect them by recursing per component)."""
     from citation_graph_spark.graph.components import connected_components
 
     sym = undirect(edges.select("src", "dst"))
@@ -258,7 +279,7 @@ def spectral_bisect(
     return scores.select(
         "vid",
         "score_q4",
-        (F.col("score_q4") > 0).cast("int").alias("side"),
+        (F.col("z") > 0).cast("int").alias("side"),
     )
 
 
