@@ -608,6 +608,20 @@ def _msf_oracle(
             f"  FROM c{p} c JOIN relab{r} r ON r.comp = c.comp)"
         )
         sels.append(f"SELECT src, dst, w FROM sel{r}")
+    # loud-failure guard (ADVICE r4): the engine always runs Borůvka
+    # to completion, so if any inter-component edge survives the last
+    # replayed round the oracle would silently return a PARTIAL forest
+    # and the gate would blame the engine. Instead raise inside DuckDB
+    # — error() is lazily evaluated, so the arm is free when converged.
+    sels.append(
+        f"SELECT CAST(error('msf oracle: {rounds} Borůvka rounds "
+        f"exhausted before convergence — raise the round count') "
+        f"AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)\n"
+        f"      FROM (SELECT 1 FROM we e\n"
+        f"            JOIN c{rounds} ca ON ca.vid = e.src\n"
+        f"            JOIN c{rounds} cb ON cb.vid = e.dst\n"
+        f"            WHERE ca.comp <> cb.comp LIMIT 1) unconv"
+    )
     body = ",\n    ".join(parts)
     union = "\n      UNION ALL ".join(sels)
     return f"""
@@ -617,7 +631,10 @@ def _msf_oracle(
     """
 
 
-_MSF_ROUNDS = 13  # covers n≤8192 part-graph vertices (sf0.01: ≤2000)
+# covers n≤8192 part-graph vertices (sf0.01: ≤2000). The generated
+# SQL carries a loud-failure arm: past 2^13 vertices the oracle raises
+# instead of returning a partial forest (ADVICE r4).
+_MSF_ROUNDS = 13
 
 
 @register("graph_part_msf", oracle=_msf_oracle(_MSF_ROUNDS))
@@ -712,7 +729,11 @@ def graph_part_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BC_SOURCES = 8
 _BC_ITERS = 10
 
-_BETWEENNESS_ORACLE = f"""
+# shared Brandes forward/backward state (srcs … dep), composed — not
+# string-sliced — into the vertex and edge oracles below (ADVICE r4:
+# the edge oracle used to be built by rindex-slicing the finished
+# vertex SQL, coupling the two through exact whitespace)
+_BC_STATE = f"""
     WITH RECURSIVE {_GRAPH_CTE},
     srcs AS (SELECT vid FROM verts ORDER BY vid LIMIT {_BC_SOURCES}),
     symx AS (
@@ -773,12 +794,17 @@ _BETWEENNESS_ORACLE = f"""
       SELECT v, sum(delta) AS bc FROM back
       WHERE jt = (SELECT max(jt) FROM back) AND v <> s
       GROUP BY v
-    )
+    )"""
+
+_BETWEENNESS_ORACLE = (
+    _BC_STATE
+    + """
     SELECT vt.vid,
            CAST(floor(coalesce(d.bc, 0) * 1000000 + 0.5) AS BIGINT)
            AS bc_micro
     FROM verts vt LEFT JOIN dep d ON d.v = vt.vid
     """
+)
 
 
 @register("graph_part_betweenness", oracle=_BETWEENNESS_ORACLE)
@@ -804,7 +830,7 @@ def graph_part_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # routed through DAG edge v→w is sigma_v·(1+delta_w)/sigma_w, summed
 # over pivots on the canonical (a<b) undirected edge.
 _EDGE_BETWEENNESS_ORACLE = (
-    _BETWEENNESS_ORACLE[: _BETWEENNESS_ORACLE.rindex("    SELECT vt.vid")]
+    _BC_STATE
     + f"""
     , bfin AS (
       SELECT s, v, delta FROM back WHERE jt = (SELECT max(jt) FROM back)
