@@ -55,6 +55,30 @@ _KATZ_ITERS = 8
 _EV_ITERS = 10
 
 
+def cap_adjacency(
+    adj: DataFrame, center: str, max_degree: int | None
+) -> DataFrame:
+    """Top-k per-vertex adjacency cap for wedge self-joins — THE
+    standard mitigation for the hub-degree quadratic (a wedge join
+    emits O(deg²) pairs per center, and a power-law hub at 100× corpus
+    scale turns that into the stage's whole cost). One window, no
+    shape change: keep at most ``max_degree`` rows per wedge-center
+    ``center``, deterministic under the ascending order of the
+    remaining columns (with a weighted adjacency, order by weight
+    descending first — same one-line window). ``None`` = exact
+    (unchanged plan); the capped result is a deterministic subset, so
+    downstream counts are reproducible, just truncated at hubs."""
+    if max_degree is None:
+        return adj
+    others = [c for c in adj.columns if c != center]
+    w = Window.partitionBy(center).orderBy(*[F.asc(c) for c in others])
+    return (
+        adj.withColumn("_adj_rk", F.row_number().over(w))
+        .filter(F.col("_adj_rk") <= max_degree)
+        .drop("_adj_rk")
+    )
+
+
 def _dedges(spark: SparkSession) -> DataFrame:
     """Distinct directed citation links (multiplicity dropped: one
     citation relationship per (citing, cited) pair, exactly the
@@ -82,14 +106,19 @@ def _dedges(spark: SparkSession) -> DataFrame:
     HAVING count(*) >= 2
     """,
 )
-def corpus_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_cocitation(
+    spark: SparkSession, sf_dir: str, max_degree: int | None = None
+) -> DataFrame:
     """Co-citation strength (Small 1973): documents (a, b) cited
     together by >= 2 common citing documents — the similarity measure
     behind the reference's related-paper serving (its Cypher
     ``(citing)-[:CITES]->(cited)`` pattern family,
     perspectives/bbp_or_not_perspective.json). Wedge self-join keyed on
-    the citing document."""
-    e = _dedges(spark)
+    the citing document. ``max_degree`` (opt-in) caps each citing
+    document's reference list via ``cap_adjacency`` before the wedge —
+    the hub-quadratic guard for power-law corpora; None = exact (the
+    registered/oracle contract)."""
+    e = cap_adjacency(_dedges(spark), "src", max_degree)
     e1 = e.select(F.col("src").alias("s"), F.col("dst").alias("a"))
     e2 = e.select(F.col("src").alias("s"), F.col("dst").alias("b"))
     return (
@@ -99,6 +128,40 @@ def corpus_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cocite_count"))
         .filter(F.col("cocite_count") >= 2)
     )
+
+
+# --------------------------------------------------------------------------
+_COCITE_CAP = 16
+
+
+@register(
+    "corpus_cocitation_capped",
+    oracle=f"""
+    WITH {_CORPUS_CTE},
+    ced AS (SELECT DISTINCT src, dst FROM cedges),
+    capped AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY dst) AS rk
+        FROM ced) t
+      WHERE rk <= {_COCITE_CAP}
+    )
+    SELECT e1.dst AS a, e2.dst AS b, count(*) AS cocite_count
+    FROM capped e1 JOIN capped e2 ON e1.src = e2.src AND e1.dst < e2.dst
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def corpus_cocitation_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_cocitation`` with the hub-quadratic guard ON
+    (``max_degree=16``): each citing document's reference list is
+    truncated to its 16 smallest-vid targets before the wedge
+    self-join, bounding the per-center pair emission at
+    C(16,2) = 120 regardless of hub degree — the shape that survives
+    a power-law 100× corpus. Deterministic truncation (row_number
+    over dst asc), so the capped counts are themselves oracle-exact;
+    the uncapped sibling remains the exact-semantics contract."""
+    return corpus_cocitation(spark, sf_dir, max_degree=_COCITE_CAP)
 
 
 # --------------------------------------------------------------------------
@@ -113,11 +176,15 @@ def corpus_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING count(*) >= 2
     """,
 )
-def corpus_bib_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_bib_coupling(
+    spark: SparkSession, sf_dir: str, max_degree: int | None = None
+) -> DataFrame:
     """Bibliographic coupling (Kessler 1963): documents (a, b) whose
     reference lists share >= 2 common cited documents — the dual of
-    co-citation, wedge self-join keyed on the cited document."""
-    e = _dedges(spark)
+    co-citation, wedge self-join keyed on the cited document.
+    ``max_degree`` (opt-in) caps each cited document's citer list
+    before the wedge (``cap_adjacency``); None = exact."""
+    e = cap_adjacency(_dedges(spark), "dst", max_degree)
     e1 = e.select(F.col("dst").alias("d"), F.col("src").alias("a"))
     e2 = e.select(F.col("dst").alias("d"), F.col("src").alias("b"))
     return (
@@ -153,7 +220,9 @@ def corpus_bib_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
 )
-def corpus_link_predict_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_link_predict_ra(
+    spark: SparkSession, sf_dir: str, max_degree: int | None = None
+) -> DataFrame:
     """Resource-allocation link prediction (Zhou, Lu, Zhang 2009):
     for non-adjacent pairs (a, b) with >= 2 common neighbors in the
     undirected citation graph, score = SUM_z 1/deg(z) over common
@@ -162,13 +231,17 @@ def corpus_link_predict_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant is the identical plan with a different per-vertex weight).
     Predicts the links the crawl hasn't seen yet — the reference's
     serendipitous-related-paper use case served from graph structure
-    alone."""
+    alone. ``max_degree`` (opt-in) caps the wedge-center adjacency
+    before the self-join; degrees and the known-edge anti-join stay on
+    the FULL graph so 1/deg weights remain exact — the cap only
+    truncates which wedges are enumerated at hubs. None = exact."""
     sym = undirect(_dedges(spark)).localCheckpoint()
     deg = sym.groupBy(F.col("src").alias("v")).agg(
         F.count(F.lit(1)).alias("degree")
     )
-    w1 = sym.select(F.col("src").alias("z"), F.col("dst").alias("a"))
-    w2 = sym.select(F.col("src").alias("z"), F.col("dst").alias("b"))
+    wsrc = cap_adjacency(sym, "src", max_degree)
+    w1 = wsrc.select(F.col("src").alias("z"), F.col("dst").alias("a"))
+    w2 = wsrc.select(F.col("src").alias("z"), F.col("dst").alias("b"))
     scored = (
         w1.join(w2, "z")
         .filter(F.col("a") < F.col("b"))
@@ -612,7 +685,9 @@ def corpus_cocitation_incremental(
     )
     """,
 )
-def corpus_link_predict_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_link_predict_cn(
+    spark: SparkSession, sf_dir: str, max_degree: int | None = None
+) -> DataFrame:
     """Exact-integer link-prediction score family (Liben-Nowell &
     Kleinberg 2003) for non-adjacent pairs with >= 2 common neighbors:
     common-neighbor count, preferential attachment deg(a)*deg(b), and
@@ -624,13 +699,16 @@ def corpus_link_predict_cn(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered — its 1/ln(deg) weight cannot cross the engine hash
     exactly, and RA dominates it on the same wedge plan (Zhou, Lu,
     Zhang 2009). Same wedge self-join + degree joins + anti-join
-    shapes already pinned by the bibliometric plan regressions."""
+    shapes already pinned by the bibliometric plan regressions.
+    ``max_degree`` (opt-in) caps the wedge-center adjacency before the
+    self-join (degrees/anti-join stay exact); None = exact."""
     sym = undirect(_dedges(spark)).localCheckpoint()
     deg = sym.groupBy(F.col("src").alias("v")).agg(
         F.count(F.lit(1)).alias("degree")
     )
-    w1 = sym.select(F.col("src").alias("z"), F.col("dst").alias("a"))
-    w2 = sym.select(F.col("src").alias("z"), F.col("dst").alias("b"))
+    wsrc = cap_adjacency(sym, "src", max_degree)
+    w1 = wsrc.select(F.col("src").alias("z"), F.col("dst").alias("a"))
+    w2 = wsrc.select(F.col("src").alias("z"), F.col("dst").alias("b"))
     wedge = (
         w1.join(w2, "z")
         .filter(F.col("a") < F.col("b"))

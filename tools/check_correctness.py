@@ -7,7 +7,12 @@ count, column names/types-loosely, and an order-insensitive value hash
 normalization). Mirrors the driver contract described in
 __spark_entry__.py.
 
-Usage: python tools/check_correctness.py [--json OUT.json] [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--strict] [--json OUT.json]
+       [sf_dir] [query ...]
+
+``--strict`` additionally compares a RAW-stringified value hash (no
+float normalization — the driver-hasher model), so output-type
+fragility that normalization would mask fails locally first.
 
 ``--json`` also persists the per-query records in the driver gate's
 CORRECTNESS_r{N}.json shape (rows_match / schema_match / hash_match /
@@ -27,13 +32,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _args = sys.argv[1:]
 JSON_OUT = None
+STRICT = False
+if _args and _args[0] == "--strict":
+    # also hash with RAW stringification (no float normalization) —
+    # the driver-hasher model that produced the r4 hash-reds; a query
+    # that passes only under normalization fails here first
+    STRICT = True
+    _args = _args[1:]
 if _args and _args[0] == "--json":
     JSON_OUT = _args[1]
     _args = _args[2:]
 SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
 ONLY = set(_args[1:])
 
-from citation_graph_spark.compare import norm_val, table_hash  # noqa: E402
+from citation_graph_spark.compare import (  # noqa: E402
+    norm_val,
+    table_hash,
+    table_hash_raw,
+)
 from citation_graph_spark.tables import TABLE_NAMES  # noqa: E402
 
 
@@ -109,6 +125,15 @@ def main() -> int:
             hs, hd = table_hash(rows, cols), table_hash(orows, ocols)
             if hs != hd:
                 problems.append(f"valuehash spark={hs} duck={hd}")
+        if not problems and STRICT:
+            rs = table_hash_raw(rows, cols)
+            rd = table_hash_raw(orows, ocols)
+            if rs != rd:
+                problems.append(
+                    f"STRICT rawhash spark={rs} duck={rd} "
+                    "(passes only under float normalization — "
+                    "driver-fragile output typing)"
+                )
                 # show a sample mismatch for debugging
                 order_s = sorted(range(len(cols)), key=lambda i: cols[i])
                 order_d = sorted(range(len(ocols)), key=lambda i: ocols[i])
