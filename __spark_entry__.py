@@ -60,7 +60,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # slot on an `err:"no_oracle"` row (VERDICT r4 "What's wrong" #4).
 _GATE_PRIORITY = [
     "corpus_repo_graph", "corpus_repo_reciprocity", "bm25_search",
-    "graph_part_closeness", "corpus_random_walks", "corpus_assortativity",
+    "graph_part_closeness",
+    # round-5 additions (never gated): the hub-capped wedge variant
+    # and the d=512 high-dim kNN gate variant
+    "corpus_cocitation_capped", "knn_cosine_topk_d512",
+    "corpus_random_walks", "corpus_assortativity",
     "corpus_neighborhood_function", "graph_part_louvain_move",
     "graph_part_ktruss", "graph_part_betweenness",
     "corpus_cocitation_incremental", "corpus_scc", "corpus_cocitation",
@@ -76,9 +80,9 @@ _GATE_PRIORITY = [
     "normalized_part_names", "customer_uid_sha", "orders_by_month_1996",
     "docs_mentioning_spark", "top_revenue_customers", "event_sessions",
     "brand_price_quantiles", "segments_per_nation", "knn_cosine_topk",
-    "ann_sign_lsh", "embedding_centroids", "ann_ivf", "token_counts",
-    "text_quality",
+    "ann_sign_lsh", "embedding_centroids", "ann_ivf",
     # ---- below the 50-sample line ----
+    "token_counts", "text_quality",
     "pii_redaction", "doc_chunks", "corpus_mixture", "context_packing",
     "latest_order_per_customer", "asof_view_before_purchase",
     "customers_without_big_orders", "brands_with_supply",

@@ -375,3 +375,102 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         model.transform(feat)
         .select("vec_id", F.col("prediction").cast("long").alias("cluster"))
     )
+
+
+# --------------------------------------------------------------------------
+# d=512 gate variant: the pytest high-dim fixture (tests/test_highdim.py)
+# proved the vector stack at d=512, but the driver gate only ever saw the
+# 64-dim embeddings table. This query synthesizes a deterministic 512-dim
+# INTEGER expansion of each embedding — tile the 64 quantized coords 8×
+# with a position-scaled copy plus a (vec_id, j)-keyed integer offset —
+# identically on both engines (pure int arithmetic, no floats until the
+# final cosine), then runs the brute-force cosine top-k at d=512. The
+# high-dim dot product, norm, and window rank all execute at the real
+# width, so a d-dependent regression (overflow, transform/zip_with
+# shape, argsort stability) fails the driver gate, not just pytest.
+_HD_DIMS = 512
+
+# j ∈ [0, 512): hv[j] = qv[j mod d] · (1 + j div d) + ((vec_id·(j+1)) mod 97) − 48
+_HD_EXPAND = (
+    f"transform(sequence(0, {_HD_DIMS - 1}), j -> "
+    "element_at(qv, (j % size(qv)) + 1) * (1L + (j div size(qv))) "
+    "+ ((vec_id * (j + 1L)) % 97L) - 48L)"
+)
+
+
+@register(
+    "knn_cosine_topk_d512",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> cast(floor(cast(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    hd AS (
+      SELECT vec_id, list_transform(range(0, {_HD_DIMS}), j ->
+        qv[(j % len(qv)) + 1] * (1 + (j // len(qv)))
+        + ((vec_id * (j + 1)) % 97) - 48) AS hv
+      FROM q
+    ),
+    n AS (SELECT vec_id, hv, list_dot_product(hv, hv) AS nrm FROM hd),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_dot_product(a.hv, b.hv) / sqrt(a.nrm * b.nrm) AS cosine
+      FROM n a JOIN n b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {_N_QUERIES}
+    )
+    SELECT query_id, neighbor_id,
+           cast(floor(cosine * 1000000 + 0.5) AS BIGINT) AS cosine_micro, rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {_TOP_K}
+    """,
+)
+def knn_cosine_topk_d512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the deterministic d=512 integer
+    expansion (same plan shape as ``knn_cosine_topk``: broadcast query
+    batch × candidate scan, JVM-side exact int64 dot, per-query window
+    rank — scale argument unchanged, just 8× the vector width)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    hd = e.select(
+        "vec_id", F.expr(_QUANT).alias("qv")
+    ).select(
+        "vec_id", F.expr(_HD_EXPAND).alias("hv")
+    ).withColumn("nrm", F.expr(_DOT.format(a="hv", b="hv")))
+    queries = hd.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("hv").alias("qa"),
+        F.col("nrm").alias("na"),
+    )
+    cands = hd.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("hv").alias("qb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.expr(_DOT.format(a="qa", b="qb"))
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(cands)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine", dot / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.floor(F.col("cosine") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("cosine_micro"),
+            "rk",
+        )
+    )
