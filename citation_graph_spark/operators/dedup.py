@@ -662,8 +662,8 @@ def dedup_groups_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.doc_id,
            s.n_shingles,
            cast(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
-           floor(coalesce(h.n_hit, 0) * 10000.0 / s.n_shingles + 0.5)
-             AS contam_r4
+           CAST(floor(coalesce(h.n_hit, 0) * 10000.0 / s.n_shingles + 0.5)
+                AS BIGINT) AS contam_r4
     FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
     """,
 )

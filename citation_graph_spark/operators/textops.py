@@ -288,13 +288,14 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT ta.doc_id,
            ta.n_tokens,
-           floor((ta.n_tokens - ta.n_uniq) * 10000.0 / ta.n_tokens + 0.5)
-             AS dup_token_r4,
-           floor(ta.top_cnt * 10000.0 / ta.n_tokens + 0.5) AS top_token_r4,
-           CASE WHEN tri.nt >= 3
+           CAST(floor((ta.n_tokens - ta.n_uniq) * 10000.0 / ta.n_tokens
+                      + 0.5) AS BIGINT) AS dup_token_r4,
+           CAST(floor(ta.top_cnt * 10000.0 / ta.n_tokens + 0.5) AS BIGINT)
+             AS top_token_r4,
+           CAST(CASE WHEN tri.nt >= 3
                 THEN floor((tri.nt - 2 - tri.n_uniq_tri) * 10000.0
                            / (tri.nt - 2) + 0.5)
-                ELSE 0 END AS dup_trigram_r4
+                ELSE 0 END AS BIGINT) AS dup_trigram_r4
     FROM ta JOIN tri ON ta.doc_id = tri.doc_id
     """,
 )
@@ -350,7 +351,8 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nt") >= 3,
             r4(F.col("nt") - 2 - F.col("n_uniq_tri"), F.col("nt") - 2),
         )
-        .otherwise(F.lit(0.0))
+        .otherwise(F.lit(0))
+        .cast("long")
         .alias("dup_trigram_r4"),
     )
 

@@ -48,6 +48,19 @@ def sweep(sf_dir: str = "/root/testdata/sf0.01"):
             for col, typ, *_ in rows
             if any(f in typ.upper() for f in FRAGILE)
         ]
+        # integer-quantized columns (the repo's *_milli/_micro/… naming
+        # convention) must be integer-typed: a DOUBLE-typed floor()
+        # carries 4375.0 where Spark emits 4375 — raw-stringify hashers
+        # diverge even though the values are equal (r5 strict-mode find:
+        # doc_repetition, benchmark_contamination)
+        hits += [
+            (col, typ)
+            for col, typ, *_ in rows
+            if col.endswith(
+                ("_milli", "_micro", "_nano", "_pico", "_r4", "_q4")
+            )
+            and typ.upper() not in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT")
+        ]
         if hits:
             bad[name] = hits
     return bad, errs
