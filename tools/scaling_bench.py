@@ -107,9 +107,20 @@ def spark_submit(zip_path: str, docs_path: str, cores: int) -> dict:
 
 def main() -> None:
     workdir = tempfile.mkdtemp(prefix="cgs-scaling-")
-    docs_path = os.path.join(workdir, "corpus.parquet")
-    print(f"# materializing corpus n={N_DOCS} → {docs_path}", file=sys.stderr)
-    materialize_corpus(docs_path)
+    # SPARK_GRAFT_CORPUS_PATH: reuse a pre-materialized corpus parquet
+    # (same N_DOCS!) across gated retries — materialization is a
+    # single-threaded ~7 min driver cost at 1.8M docs and sits OUTSIDE
+    # every timed window, so reuse changes nothing measured
+    docs_path = os.environ.get("SPARK_GRAFT_CORPUS_PATH", "")
+    if not (docs_path and os.path.exists(docs_path)):
+        docs_path = os.path.join(workdir, "corpus.parquet")
+        print(
+            f"# materializing corpus n={N_DOCS} → {docs_path}",
+            file=sys.stderr,
+        )
+        materialize_corpus(docs_path)
+    else:
+        print(f"# reusing corpus at {docs_path}", file=sys.stderr)
     zip_path = build_pyfiles_zip(workdir)
 
     n, n4 = LEVELS
