@@ -60,11 +60,38 @@ def main() -> None:
     n_verts = verts.count()
     extract_s = time.monotonic() - t0
 
+    # per-iteration walls via the kernel's own metrics log: a mid-leg
+    # host dip is then visible INSIDE the leg (iteration time series),
+    # not just inferable from the pre/post bandwidth probes — closes
+    # the r5b ambiguity where a narrow-leg slowdown could only be
+    # attributed by its post-leg probe
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".jsonl", delete=False) as f:
+        metrics_path = f.name
     t0 = time.monotonic()
     pagerank(
-        edges, verts.select("vid"), tol=0.0, max_iter=iters, num_partitions=parts
+        edges,
+        verts.select("vid"),
+        tol=0.0,
+        max_iter=iters,
+        num_partitions=parts,
+        metrics_path=metrics_path,
     ).count()
     pr_s = time.monotonic() - t0
+    iter_walls = []
+    try:
+        with open(metrics_path) as f:
+            recs = [json.loads(ln) for ln in f]
+        iter_walls = [
+            r.get("wall_s")
+            for r in sorted(
+                (r for r in recs if r.get("iteration", -1) >= 0),
+                key=lambda r: r["iteration"],
+            )
+        ]
+    except Exception:  # noqa: BLE001 — evidence-only, never fail the leg
+        pass
 
     print(
         json.dumps(
@@ -77,6 +104,7 @@ def main() -> None:
                 "pagerank_s": round(pr_s, 3),
                 "total_s": round(extract_s + pr_s, 3),
                 "edges_per_sec": round(iters * n_edges / pr_s, 1),
+                "iter_walls_s": iter_walls,
             }
         )
     )
