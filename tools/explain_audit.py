@@ -88,6 +88,9 @@ AUDIT = [
     ("corpus_repo_graph", "repo dependency quotient: vid-keyed vertex joins + repo-pair groupBy + per-source share window"),
     ("corpus_repo_profile", "per-repo cohesion panel: vid-keyed joins + repo rollups + left-join merge"),
     ("event_view_purchase_attr", "attribution join: user-keyed equi-join, event-time range rides the key"),
+    # round 5
+    ("knn_cosine_topk_d512", "d=512 brute kNN: broadcast query batch over candidate scan, same shape as the 64-dim baseline at 8x width"),
+    ("corpus_cocitation_capped", "hub-capped wedge: per-center row_number truncation BEFORE the self-join — bounded per-center emission"),
 ]
 
 
