@@ -29,12 +29,12 @@ print(int(json.loads(sys.stdin.readline())['median_2proc_m_chases_s']))" 2>/dev/
   echo "$(date +%H:%M:%S) probe2 bw=$BW lat=$LAT" >> "$LOG"
   if [ -n "$BW" ] && [ -n "$LAT" ] && [ "$BW" -ge "$GATE_BW" ] && [ "$LAT" -ge "$GATE_LAT" ]; then
     echo "$(date +%H:%M:%S) gates clear — firing bench" >> "$LOG"
-    python bench.py > bench_out/bench_local_r5_gated3.json 2>/dev/null
+    python bench.py > bench_out/bench_local_r5_gated4.json 2>/dev/null
     echo "$(date +%H:%M:%S) bench done — firing 2v8 single-repeat series" >> "$LOG"
     SPARK_GRAFT_CORPUS_PATH=bench_out/scaling_corpus_1800k.parquet \
       python tools/scaling_bench.py 1800000 20 2 8 1 \
-      > bench_out/scaling_r5_gated3.log 2>&1
-    cp bench_out/scaling.json bench_out/scaling_r5d_2v8_1800k_gated3.json
+      > bench_out/scaling_r5_gated4.log 2>&1
+    cp bench_out/scaling.json bench_out/scaling_r5e_2v8_1800k_gated4.json
     echo "$(date +%H:%M:%S) series done" >> "$LOG"
     exit 0
   fi
