@@ -74,6 +74,20 @@ from citation_graph_spark.session import (
 
 FIEDLER_SCALE = 10000
 
+# int64-overflow guard for the rescale (found by the 1.8M-vertex
+# partition stress run, tools/stress_partition.py): (z − zmin) can
+# reach ~n²·σ·10⁴ (1.6e16 at 1M coarse vertices), so multiplying by
+# 2·10⁴ overflows long — DuckDB's replay survives via int128, Spark
+# raises under ANSI. When the spread exceeds SAFE_SPREAD (2^45:
+# spread·2·10⁴ ≤ 7e17 < 2^63), both engines first floor-divide the
+# non-negative (z − zmin) AND the spread by SHIFT = 2^16 (trunc ==
+# floor for non-negatives, so Spark div == DuckDB //), then rescale.
+# spread ≤ 2^63 ⇒ shifted spread ≤ 2^47 ⇒ product ≤ 2.9e18 < 2^63.
+# Same deterministic map on both engines; the narrow branch (every
+# gate-scale graph) is bit-for-bit the historical formula.
+FIEDLER_SAFE_SPREAD = 1 << 45
+FIEDLER_SHIFT = 1 << 16
+
 
 def fiedler_round_lineage(syms: DataFrame, x: DataFrame) -> DataFrame:
     """One M·x round (pre-projection lineage, exposed for the
@@ -202,17 +216,24 @@ def fiedler_scores(
                         .localCheckpoint(eager=True)
                     )
                 else:
+                    spread = zmax - zmin
+                    if spread <= FIEDLER_SAFE_SPREAD:
+                        x_expr = (
+                            f"div(({n}L * y - {s}L - {zmin}L)"
+                            f" * {2 * FIEDLER_SCALE}L,"
+                            f" {spread}L)"
+                        )
+                    else:
+                        x_expr = (
+                            f"div(div({n}L * y - {s}L - {zmin}L,"
+                            f" {FIEDLER_SHIFT}L)"
+                            f" * {2 * FIEDLER_SCALE}L,"
+                            f" {max(spread // FIEDLER_SHIFT, 1)}L)"
+                        )
                     x = (
                         y.select(
                             "vid",
-                            (
-                                F.expr(
-                                    f"div(({n}L * y - {s}L - {zmin}L)"
-                                    f" * {2 * FIEDLER_SCALE}L,"
-                                    f" {zmax - zmin}L)"
-                                )
-                                - F.lit(FIEDLER_SCALE)
-                            )
+                            (F.expr(x_expr) - F.lit(FIEDLER_SCALE))
                             .cast("long")
                             .alias("x"),
                             zcol.alias("z"),

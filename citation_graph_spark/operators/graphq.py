@@ -56,6 +56,10 @@ from citation_graph_spark.graph import (
     undirect,
 )
 from citation_graph_spark.graph.ids import build_vertices
+from citation_graph_spark.graph.spectral import (
+    FIEDLER_SAFE_SPREAD,
+    FIEDLER_SHIFT,
+)
 from citation_graph_spark.extraction import build_edges
 from citation_graph_spark.operators import register
 from citation_graph_spark.tables import load_tables
@@ -2551,9 +2555,20 @@ _FIEDLER_ITERS = 40
              CAST((vid % 7) - 3 AS BIGINT) FROM cverts
       UNION ALL
       SELECT z.it, z.v,
+             -- overflow-guarded rescale: the wide branch mirrors the
+             -- engine's 2^16 pre-shift (graph/spectral.py
+             -- FIEDLER_SAFE_SPREAD) so both stay int64-exact past 1M
+             -- vertices; every gate-scale graph takes the narrow branch
              CAST(CASE WHEN max(z.z) OVER () = min(z.z) OVER () THEN 0
-                  ELSE (z.z - min(z.z) OVER ()) * {2 * 10000}
+                  WHEN max(z.z) OVER () - min(z.z) OVER ()
+                       <= {FIEDLER_SAFE_SPREAD}
+                  THEN (z.z - min(z.z) OVER ()) * {2 * 10000}
                        // (max(z.z) OVER () - min(z.z) OVER ())
+                       - 10000
+                  ELSE ((z.z - min(z.z) OVER ()) // {FIEDLER_SHIFT})
+                       * {2 * 10000}
+                       // greatest((max(z.z) OVER () - min(z.z) OVER ())
+                                   // {FIEDLER_SHIFT}, 1)
                        - 10000 END AS BIGINT),
              CAST(z.z AS BIGINT)
       FROM (
@@ -2634,9 +2649,20 @@ _MULTILEVEL_CORE = f"""
              CAST((vid % 7) - 3 AS BIGINT) FROM qcverts
       UNION ALL
       SELECT z.it, z.v,
+             -- overflow-guarded rescale: the wide branch mirrors the
+             -- engine's 2^16 pre-shift (graph/spectral.py
+             -- FIEDLER_SAFE_SPREAD) so both stay int64-exact past 1M
+             -- vertices; every gate-scale graph takes the narrow branch
              CAST(CASE WHEN max(z.z) OVER () = min(z.z) OVER () THEN 0
-                  ELSE (z.z - min(z.z) OVER ()) * {2 * 10000}
+                  WHEN max(z.z) OVER () - min(z.z) OVER ()
+                       <= {FIEDLER_SAFE_SPREAD}
+                  THEN (z.z - min(z.z) OVER ()) * {2 * 10000}
                        // (max(z.z) OVER () - min(z.z) OVER ())
+                       - 10000
+                  ELSE ((z.z - min(z.z) OVER ()) // {FIEDLER_SHIFT})
+                       * {2 * 10000}
+                       // greatest((max(z.z) OVER () - min(z.z) OVER ())
+                                   // {FIEDLER_SHIFT}, 1)
                        - 10000 END AS BIGINT),
              CAST(z.z AS BIGINT)
       FROM (

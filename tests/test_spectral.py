@@ -7,7 +7,9 @@ import numpy as np
 import pytest
 
 from citation_graph_spark.graph.spectral import (
+    FIEDLER_SAFE_SPREAD,
     FIEDLER_SCALE,
+    FIEDLER_SHIFT,
     fiedler_scores,
     spectral_bisect,
 )
@@ -37,9 +39,15 @@ def numpy_replay(n, edge_list, iters):
         if z.max() == z.min():
             x = np.zeros(n, dtype=np.int64)
         else:
-            x = (z - z.min()) * (2 * FIEDLER_SCALE) // (
-                z.max() - z.min()
-            ) - FIEDLER_SCALE
+            spread = int(z.max()) - int(z.min())
+            if spread <= FIEDLER_SAFE_SPREAD:
+                x = (z - z.min()) * (2 * FIEDLER_SCALE) // spread - FIEDLER_SCALE
+            else:  # the engine's int64-overflow guard (2^16 pre-shift)
+                x = (
+                    (z - z.min()) // FIEDLER_SHIFT
+                ) * (2 * FIEDLER_SCALE) // max(
+                    spread // FIEDLER_SHIFT, 1
+                ) - FIEDLER_SCALE
     return x
 
 
@@ -196,3 +204,63 @@ def test_refine_matches_python_replay_and_decreases_cut(spark):
         cur = cut_size(el, python_refine(n, el, init.items(), r))
         assert cur <= prev
         prev = cur
+
+
+def test_fiedler_wide_spread_branch_matches_replay(spark, monkeypatch):
+    """Force the overflow-guard branch (found by the 1.8M-vertex
+    partition stress: (z − zmin)·2·10⁴ overflows long past ~2^45
+    spread) and demand the engine still equals the sequential replay
+    bit-for-bit. Patch the threshold to 0 on BOTH sides so every
+    round takes the 2^16 pre-shift path on a small graph."""
+    from citation_graph_spark.graph import spectral as sp
+
+    monkeypatch.setattr(sp, "FIEDLER_SAFE_SPREAD", 0)
+    # patch the replay's own globals — pytest may import this file
+    # under a different module name, so attribute-patching a fresh
+    # import would miss the copy actually running
+    monkeypatch.setitem(numpy_replay.__globals__, "FIEDLER_SAFE_SPREAD", 0)
+    el = [(s, d) for s, d, _ in __import__(
+        "tests.oracles", fromlist=["random_graph"]
+    ).random_graph(60, 170, seed=23)]
+    got = {
+        r["vid"]: r["score_q4"]
+        for r in fiedler_scores(edges_df(spark, el), max_iter=12).collect()
+    }
+    want = numpy_replay(60, el, 12)
+    for v in range(60):
+        assert got[v] == want[v], v
+    assert max(abs(v) for v in got.values()) <= FIEDLER_SCALE
+
+
+def test_fiedler_guard_sql_parity_wide_regime():
+    """The oracle CASE branch must equal the engine formula in the
+    genuinely-wide regime: synthetic z values with spread > 2^45,
+    DuckDB int128 arithmetic vs the Python int formula."""
+    import duckdb
+
+    zs = [
+        -(3 << 50), -(1 << 46), -12345, 0, 7, 1 << 44, (5 << 50) + 991
+    ]
+    zmin, zmax = min(zs), max(zs)
+    spread = zmax - zmin
+    assert spread > FIEDLER_SAFE_SPREAD
+    want = [
+        ((z - zmin) // FIEDLER_SHIFT) * (2 * FIEDLER_SCALE)
+        // max(spread // FIEDLER_SHIFT, 1) - FIEDLER_SCALE
+        for z in zs
+    ]
+    rows = duckdb.sql(
+        f"""
+        SELECT CASE WHEN {zmax} - {zmin} <= {FIEDLER_SAFE_SPREAD}
+               THEN (z - {zmin}) * {2 * FIEDLER_SCALE}
+                    // ({zmax} - {zmin}) - {FIEDLER_SCALE}
+               ELSE ((z - {zmin}) // {FIEDLER_SHIFT})
+                    * {2 * FIEDLER_SCALE}
+                    // greatest(({zmax} - {zmin}) // {FIEDLER_SHIFT}, 1)
+                    - {FIEDLER_SCALE} END
+        FROM (VALUES {','.join(f'({z})' for z in zs)}) t(z)
+        """
+    ).fetchall()
+    got = [int(r[0]) for r in rows]
+    assert got == want
+    assert all(-FIEDLER_SCALE <= v <= FIEDLER_SCALE for v in got)
